@@ -1,0 +1,1 @@
+from kaolin_tpu.render import camera  # noqa: F401

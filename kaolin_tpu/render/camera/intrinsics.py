@@ -1,0 +1,280 @@
+"""Camera intrinsics — projection from camera space to NDC, as JAX pytrees.
+
+TPU-native analog of reference ``kaolin/render/camera/intrinsics.py:85``
+(base), ``intrinsics_pinhole.py:34`` and ``intrinsics_ortho.py:35``.
+
+Conventions (matching the reference): left-handed NDC (depth increases into
+the screen), camera looks down −z (OpenGL), NDC range [-1, 1] by default,
+projection factored as ``ndc_matrix @ perspective_matrix``.
+
+Params tensors are (num_cameras, P) traced arrays (differentiable); width /
+height / near / far / ndc range are static python numbers (aux data).
+"""
+
+from __future__ import annotations
+
+import enum
+import math
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "CameraFOV",
+    "CameraIntrinsics",
+    "PinholeIntrinsics",
+    "OrthographicIntrinsics",
+    "up_to_homogeneous",
+    "down_from_homogeneous",
+]
+
+DEFAULT_NEAR = 1e-2
+DEFAULT_FAR = 1e2
+
+
+class CameraFOV(enum.Enum):
+    """Camera field-of-view direction (ref ``intrinsics.py:52``)."""
+    HORIZONTAL = 0
+    VERTICAL = 1
+    DIAGONAL = 2
+
+
+def up_to_homogeneous(vectors):
+    """Append w=1 if needed."""
+    if vectors.shape[-1] == 4:
+        return vectors
+    return jnp.concatenate([vectors, jnp.ones_like(vectors[..., :1])], axis=-1)
+
+
+def down_from_homogeneous(vectors):
+    """Perspective divide by w."""
+    return vectors[..., :-1] / vectors[..., -1:]
+
+
+class CameraIntrinsics:
+    """Base class for batched intrinsics. Ref ``intrinsics.py:85``."""
+
+    def __init__(self, width, height, params, near=DEFAULT_NEAR, far=DEFAULT_FAR,
+                 ndc_min=-1.0, ndc_max=1.0):
+        self.width = int(width)
+        self.height = int(height)
+        self.params = params
+        self.near = float(near)
+        self.far = float(far)
+        self.ndc_min = float(ndc_min)
+        self.ndc_max = float(ndc_max)
+
+    # -- pytree protocol (shared by subclasses) --
+    def tree_flatten(self):
+        aux = (self.width, self.height, self.near, self.far,
+               self.ndc_min, self.ndc_max)
+        return (self.params,), aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        width, height, near, far, ndc_min, ndc_max = aux
+        return cls(width, height, children[0], near, far, ndc_min, ndc_max)
+
+    def __len__(self):
+        return self.params.shape[0]
+
+    @property
+    def dtype(self):
+        return self.params.dtype
+
+    def project(self, vectors):
+        """Camera space → homogeneous clip space (C, B, 4). Ref pinhole :511."""
+        proj = self.projection_matrix()
+        v = up_to_homogeneous(vectors)
+        if v.ndim == 2:
+            v = v[None]
+        return jnp.einsum("cij,cbj->cbi", proj, v)
+
+    def transform(self, vectors):
+        """Camera space → NDC with perspective divide (C, B, 3). Ref :551."""
+        return down_from_homogeneous(self.project(vectors))
+
+    def normalize_depth(self, depth):
+        """Camera depth → NDC depth in [min(ndc), max(ndc)]. Ref :578."""
+        if depth.ndim < 2:
+            depth = jnp.broadcast_to(depth, (len(self),) + depth.shape)
+        proj = self.projection_matrix()
+        a = -proj[:, 2, 2]
+        b = -proj[:, 2, 3]
+        depth = jnp.clip(depth, min(self.near, self.far), max(self.near, self.far))
+        ndc_depth = a[:, None] - b[:, None] / depth
+        lo, hi = min(self.ndc_min, self.ndc_max), max(self.ndc_min, self.ndc_max)
+        return jnp.clip(ndc_depth, lo, hi)
+
+    def __getitem__(self, item):
+        out = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(self),
+            [self.params[item].reshape(-1, self.params.shape[-1])])
+        return out
+
+
+@jax.tree_util.register_pytree_node_class
+class PinholeIntrinsics(CameraIntrinsics):
+    """Perspective pinhole camera. Params: (x0, y0, focal_x, focal_y).
+    Ref ``intrinsics_pinhole.py:34``."""
+
+    PARAMS = ("x0", "y0", "focal_x", "focal_y")
+
+    @classmethod
+    def from_focal(cls, width, height, focal_x, focal_y=None, x0=0.0, y0=0.0,
+                   near=DEFAULT_NEAR, far=DEFAULT_FAR, num_cameras=1,
+                   dtype=jnp.float32):
+        """Ref :160."""
+        focal_y = focal_x if focal_y is None else focal_y
+        params = jnp.broadcast_to(
+            jnp.asarray([x0, y0, focal_x, focal_y], dtype=dtype), (num_cameras, 4))
+        return cls(width, height, params, near, far)
+
+    @classmethod
+    def from_fov(cls, width, height, fov, fov_direction=CameraFOV.VERTICAL,
+                 x0=0.0, y0=0.0, near=DEFAULT_NEAR, far=DEFAULT_FAR,
+                 num_cameras=1, dtype=jnp.float32):
+        """fov in radians. Ref :199."""
+        tan_half = math.tan(fov / 2.0)
+        aspect = width / 2.0 if fov_direction is CameraFOV.HORIZONTAL else height / 2.0
+        focal = aspect / tan_half
+        return cls.from_focal(width, height, focal, focal, x0, y0, near, far,
+                              num_cameras, dtype)
+
+    @property
+    def lens_type(self):
+        return "pinhole"
+
+    x0 = property(lambda self: self.params[:, 0])
+    y0 = property(lambda self: self.params[:, 1])
+    focal_x = property(lambda self: self.params[:, 2])
+    focal_y = property(lambda self: self.params[:, 3])
+
+    @property
+    def cx(self):
+        """Principal point x in image coords. Ref :649."""
+        return self.params[:, 0] + self.width / 2
+
+    @property
+    def cy(self):
+        return self.params[:, 1] + self.height / 2
+
+    def tan_half_fov(self, camera_fov_direction=CameraFOV.VERTICAL):
+        """Ref :680."""
+        if camera_fov_direction is CameraFOV.HORIZONTAL:
+            return (self.width / 2.0) / self.focal_x
+        if camera_fov_direction is CameraFOV.VERTICAL:
+            return (self.height / 2.0) / self.focal_y
+        diag = math.sqrt(self.width ** 2 + self.height ** 2) / 2.0
+        return diag / self.focal_x
+
+    def fov(self, camera_fov_direction=CameraFOV.VERTICAL, in_degrees=True):
+        """Ref :698."""
+        f = 2.0 * jnp.arctan(self.tan_half_fov(camera_fov_direction))
+        return jnp.rad2deg(f) if in_degrees else f
+
+    def perspective_matrix(self):
+        """(C, 4, 4), ref :262 — intrinsic matrix in homogeneous form."""
+        zero = jnp.zeros_like(self.focal_x)
+        one = jnp.ones_like(self.focal_x)
+        rows = [
+            jnp.stack([self.focal_x, zero, -self.x0, zero], axis=-1),
+            jnp.stack([zero, self.focal_y, -self.y0, zero], axis=-1),
+            jnp.stack([zero, zero, zero, one], axis=-1),
+            jnp.stack([zero, zero, one, zero], axis=-1),
+        ]
+        return jnp.stack(rows, axis=1)
+
+    def ndc_matrix(self, left, right, bottom, top, near, far):
+        """(1, 4, 4) frustum→clip matrix; see ref :313 for the U/V derivation."""
+        tx = -(right + left) / (right - left)
+        ty = -(top + bottom) / (top - bottom)
+        if self.ndc_min == -1 and self.ndc_max == 1:
+            U = -2.0 * near * far / (far - near)
+            V = -(far + near) / (far - near)
+        elif self.ndc_min == 0 and self.ndc_max == 1:
+            U = (near * far) / (near - far)
+            V = far / (far - near)
+        elif self.ndc_min == 1 and self.ndc_max == 0:
+            U = (near * far) / (far - near)
+            V = near / (far - near)
+        else:
+            raise NotImplementedError(
+                f"NDC range [{self.ndc_min}, {self.ndc_max}] unsupported")
+        m = jnp.asarray([
+            [2.0 / (right - left), 0.0, 0.0, -tx],
+            [0.0, 2.0 / (top - bottom), 0.0, -ty],
+            [0.0, 0.0, U, V],
+            [0.0, 0.0, 0.0, -1.0],
+        ], dtype=self.dtype)
+        return m[None]
+
+    def projection_matrix(self):
+        """OpenGL-compatible projection (C, 4, 4). Ref :484."""
+        persp = self.perspective_matrix()
+        top = self.height / 2
+        right = self.width / 2
+        ndc = self.ndc_matrix(-right, right, -top, top, self.near, self.far)
+        return ndc @ persp
+
+    def zoom(self, amount):
+        """Increase fov_y by ``amount`` degrees (ref :751). Pure."""
+        new_fov = jnp.deg2rad(self.fov(CameraFOV.VERTICAL) + amount)
+        focal_y = (self.height / 2) / jnp.tan(new_fov / 2.0)
+        focal_x = focal_y * self.focal_x / self.focal_y
+        params = self.params.at[:, 2].set(focal_x).at[:, 3].set(focal_y)
+        return PinholeIntrinsics(self.width, self.height, params, self.near,
+                                 self.far, self.ndc_min, self.ndc_max)
+
+
+@jax.tree_util.register_pytree_node_class
+class OrthographicIntrinsics(CameraIntrinsics):
+    """Orthographic camera. Params: (fov_distance,). Ref ``intrinsics_ortho.py:35``."""
+
+    PARAMS = ("fov_distance",)
+
+    @classmethod
+    def from_frustum(cls, width, height, fov_distance=1.0, near=DEFAULT_NEAR,
+                     far=DEFAULT_FAR, num_cameras=1, dtype=jnp.float32):
+        """Ref :96."""
+        params = jnp.broadcast_to(
+            jnp.asarray([fov_distance], dtype=dtype), (num_cameras, 1))
+        return cls(width, height, params, near, far)
+
+    @property
+    def lens_type(self):
+        return "ortho"
+
+    fov_distance = property(lambda self: self.params[:, 0])
+
+    def orthographic_matrix(self, left, right, bottom, top, near, far):
+        """(C, 4, 4). Ref :125."""
+        fov = self.fov_distance
+        zero = jnp.zeros_like(fov)
+        one = jnp.ones_like(fov)
+        tx = jnp.full_like(fov, -(right + left) / (right - left))
+        ty = jnp.full_like(fov, -(top + bottom) / (top - bottom))
+        tz = jnp.full_like(fov, -(far + near) / (far - near))
+        W = right - left
+        H = top - bottom
+        D = jnp.full_like(fov, far - near)
+        rows = [
+            jnp.stack([2.0 / (fov * W), zero, zero, tx], axis=-1),
+            jnp.stack([zero, 2.0 / (fov * H), zero, ty], axis=-1),
+            jnp.stack([zero, zero, -2.0 / D, tz], axis=-1),
+            jnp.stack([zero, zero, zero, one], axis=-1),
+        ]
+        return jnp.stack(rows, axis=1)
+
+    def projection_matrix(self):
+        """Ref :181 — unit-height frustum scaled by aspect."""
+        top = 1.0
+        right = 1.0 * self.width / self.height
+        return self.orthographic_matrix(-right, right, -top, top,
+                                        self.near, self.far)
+
+    def zoom(self, amount):
+        """Ref :275."""
+        params = jnp.clip(self.params + amount, 1e-5, None)
+        return OrthographicIntrinsics(self.width, self.height, params, self.near,
+                                      self.far, self.ndc_min, self.ndc_max)
