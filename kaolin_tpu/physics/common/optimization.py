@@ -1,0 +1,153 @@
+"""Projected Newton with backtracking Armijo line search — fully jittable.
+
+TPU-native analog of reference ``kaolin/physics/common/optimization.py``
+(newtons_method :143, _line_search :89, _apply_bounds :46). The reference
+round-trips host↔device every Newton iteration (energy ``.numpy()`` readback,
+python line-search control flow); here the entire solve is traced: the Newton
+loop is a ``lax.fori_loop``, the line search a ``lax.while_loop``, and the
+linear solve a dense ``jnp.linalg.solve`` (or CG) on the reduced system —
+zero host syncs inside a sim step.
+
+Kinematic DOFs are removed by a static index list (``dyn_idx``) instead of a
+sparse projection matrix: gathers/scatters compile to cheap XLA ops.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["newtons_method"]
+
+
+def _apply_bounds(direction, bounds, t, qr_tfm, qr_tfm_inv):
+    """Element-wise clamp of the step by min(bounds, t); optionally performed
+    in the pre-QR basis (ref _apply_bounds :46)."""
+    min_bounds = jnp.minimum(bounds, t)
+    if qr_tfm is None or qr_tfm_inv is None:
+        return direction * min_bounds
+    direction_old = qr_tfm @ direction
+    return qr_tfm_inv @ (direction_old * min_bounds)
+
+
+def _line_search(energy_red_fn, x, direction, gradient, bounds,
+                 alpha, beta, max_steps, qr_tfm, qr_tfm_inv):
+    """Backtracking Armijo line search (ref _line_search :89). Returns the
+    bounded update (direction scaled by the accepted step)."""
+    f = energy_red_fn(x)
+    gd = lambda b: gradient @ b  # noqa: E731
+
+    def cond(state):
+        i, t, can_break, done, bounded = state
+        return (i < max_steps) & jnp.logical_not(done)
+
+    def body(state):
+        i, t, can_break, done, bounded = state
+        f_new = energy_red_fn(x + bounded)
+        sufficient = f_new <= f + alpha * gd(bounded)
+        # accept & stop if we already had one sufficient step
+        done_new = sufficient & can_break
+        # sufficient but first time: grow step; insufficient: shrink
+        t_new = jnp.where(sufficient, t / beta, t * beta)
+        can_break_new = can_break | sufficient
+        bounded_new = _apply_bounds(direction, bounds, t_new, qr_tfm, qr_tfm_inv)
+        # if done, keep the accepted bounded step
+        bounded_out = jnp.where(done_new, bounded, bounded_new)
+        t_out = jnp.where(done_new, t, t_new)
+        return (i + 1, t_out, can_break_new, done_new, bounded_out)
+
+    t0 = jnp.asarray(1.0, dtype=x.dtype)
+    bounded0 = _apply_bounds(direction, bounds, t0, qr_tfm, qr_tfm_inv)
+    state = (jnp.asarray(0), t0, jnp.asarray(False), jnp.asarray(False), bounded0)
+    _, _, _, _, bounded = jax.lax.while_loop(cond, body, state)
+    return bounded
+
+
+def newtons_method(x,
+                   energy_fcn,
+                   gradient_fcn,
+                   hessian_fcn,
+                   bounds_fcn=None,
+                   dyn_idx=None,
+                   nm_max_iters=5,
+                   cg_tol=1e-4,
+                   cg_iters=100,
+                   conv_tol=1e-4,
+                   direct_solve=True,
+                   ls_alpha=1e-3,
+                   ls_beta=0.6,
+                   max_ls_steps=10,
+                   bounds_qr_tfm=None,
+                   bounds_qr_tfm_inv=None):
+    """Minimize an implicit-integration energy over DOFs x. Ref :143.
+
+    Args:
+        x: (D,) initial guess (full DOF vector).
+        energy_fcn: x → scalar.
+        gradient_fcn: x → (D,).
+        hessian_fcn: x → (D, D) dense.
+        bounds_fcn: (dx_full, x) → (D,) per-DOF step bounds, or None.
+        dyn_idx: static numpy int array of dynamic (non-kinematic) DOF
+            indices, or None for all.
+        direct_solve: dense Cholesky-style solve vs CG.
+        bounds_qr_tfm / bounds_qr_tfm_inv: (R, R) reduced-basis rotation for
+            clamping bounds in the raw pre-QR basis.
+
+    Returns:
+        (D,) optimized DOFs. Fully traceable under jit.
+    """
+    d = x.shape[0]
+    if dyn_idx is None:
+        dyn_idx = np.arange(d)
+    dyn_idx = jnp.asarray(np.asarray(dyn_idx), dtype=jnp.int32)
+
+    def red_to_full(red):
+        return jnp.zeros((d,), dtype=x.dtype).at[dyn_idx].set(red)
+
+    def full_to_red(full):
+        return full[dyn_idx]
+
+    x_kinematic = x - red_to_full(full_to_red(x))
+
+    def energy_red(red):
+        return energy_fcn(red_to_full(red) + x_kinematic)
+
+    def newton_iter(_, carry):
+        x_cur, converged = carry
+        g = gradient_fcn(x_cur)
+        H = hessian_fcn(x_cur)
+        red_H = H[jnp.ix_(dyn_idx, dyn_idx)]
+        red_g = full_to_red(g)
+        red_x = full_to_red(x_cur)
+
+        if direct_solve:
+            red_dx = -jnp.linalg.solve(red_H, red_g)
+        else:
+            diag = jnp.clip(jnp.diagonal(red_H), 1e-8, None)
+            sol, _ = jax.scipy.sparse.linalg.cg(
+                lambda v: red_H @ v, red_g, tol=cg_tol, maxiter=cg_iters,
+                M=lambda v: v / diag)
+            red_dx = -sol
+
+        now_converged = jnp.abs(red_dx @ red_g) < conv_tol
+        converged_new = converged | now_converged
+
+        full_dx = red_to_full(red_dx)
+        if bounds_fcn is None:
+            bounds = jnp.ones_like(red_x)
+        else:
+            b = bounds_fcn(full_dx, x_cur)
+            bounds = full_to_red(b)
+
+        bounded_update = _line_search(
+            energy_red, red_x, red_dx, red_g, bounds, ls_alpha, ls_beta,
+            max_ls_steps, bounds_qr_tfm, bounds_qr_tfm_inv)
+
+        red_x_new = red_x + jnp.where(converged_new, 0.0, bounded_update)
+        x_new = red_to_full(red_x_new) + x_kinematic
+        return (x_new, converged_new)
+
+    x_final, _ = jax.lax.fori_loop(
+        0, nm_max_iters, newton_iter, (x, jnp.asarray(False)))
+    return x_final

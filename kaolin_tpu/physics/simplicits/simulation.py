@@ -1,0 +1,585 @@
+"""Simplicits scene simulation: reduced-order implicit elastodynamics.
+
+TPU-native analog of reference ``kaolin/physics/simplicits/simulation.py``
+(SimulatedObject :46, SimplicitsScene :257, run_sim_step :1346).
+
+Architecture shift (SURVEY §7): the reference assembles Warp BSR sparse
+matrices and round-trips host↔device inside the Newton loop (energy
+``.numpy()`` readbacks, python line search). Here B (3N×12H), dFdz (9N×12H)
+and BMB are **dense** — at Simplicits scale every point touches every handle,
+so the "sparse" operators are dense blocks anyway, and dense matmuls saturate
+the MXU. The entire sim step (collision detection → energy/gradient/Hessian
+assembly → Newton with Armijo line search → velocity update) compiles to ONE
+XLA program with zero host syncs; CUDA-graph capture (ref :994-1066) is
+subsumed by jit.
+"""
+
+from __future__ import annotations
+
+import functools
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kaolin_tpu.physics.common.collisions import Collision
+from kaolin_tpu.physics.common.optimization import newtons_method
+from kaolin_tpu.physics.common.scene_forces import Boundary, Floor, Gravity
+from kaolin_tpu.physics.materials.material_utils import to_lame
+from kaolin_tpu.physics.materials.neohookean_elastic_material import (
+    NeohookeanElasticMaterial,
+)
+from kaolin_tpu.physics.simplicits.precomputed import dFdz_matrix, lbs_matrix
+from kaolin_tpu.physics.simplicits.skinning import standard_lbs
+from kaolin_tpu.physics.simplicits.training import (
+    SimplicitsObject,
+    SkinnedPhysicsPoints,
+)
+from kaolin_tpu.physics.utils.torch_utilities import (
+    hess_reduction,
+    standard_transform_to_relative,
+)
+
+__all__ = ["SimulatedObject", "SimplicitsScene"]
+
+
+class SimulatedObject(SkinnedPhysicsPoints):
+    """Per-object simulation state + dense LBS operators. Ref :46."""
+
+    def __init__(self, pts, yms, prs, rhos, appx_vol, skinning_weights, dwdx,
+                 renderable=None, init_transform=None, is_kinematic=False,
+                 normalize_weights_by_samples=False, apply_qr=False):
+        handle_norms = None
+        if normalize_weights_by_samples:
+            handle_norms = jnp.clip(
+                jnp.linalg.norm(skinning_weights, axis=0), 1e-10, None)
+            skinning_weights = skinning_weights / handle_norms[None, :]
+            dwdx = dwdx / handle_norms.reshape(1, -1, 1)
+        super().__init__(pts, yms, prs, rhos, appx_vol, skinning_weights, dwdx,
+                         renderable=renderable)
+        self.handle_norms = handle_norms
+        self.init_transform = init_transform
+        self.is_kinematic = is_kinematic
+        self.normalize_weights_by_samples = normalize_weights_by_samples
+        self.apply_qr = apply_qr
+
+        self.num_qp = self.pts.shape[0]
+        self.num_cp = self.pts.shape[0]
+        self.sample_vols = jnp.full((self.num_qp,),
+                                    self.appx_vol / self.num_qp,
+                                    dtype=self.dtype)
+        self.sample_masses = (self.appx_vol / self.num_qp) * self.rhos
+
+        self.B_dense = lbs_matrix(self.pts, self.skinning_weights)
+        if is_kinematic:
+            self.dFdz_dense = jnp.zeros(
+                (9 * self.num_qp, 12 * self.num_handles), dtype=self.dtype)
+        else:
+            self.dFdz_dense = dFdz_matrix(self.skinning_weights, self.dwdx,
+                                          self.pts)
+
+        self.qr_tfm = None
+        self.qr_tfm_inv = None
+        if apply_qr:
+            self._apply_qr_decomposition()
+
+        self.z = None
+        self.z_prev = None
+        self.z_dot = None
+        self.reset_sim_state()
+
+    def _apply_qr_decomposition(self):
+        """Column-pivoted economic QR of B for conditioning (ref :123-188):
+        B_old Π = Q R, K = Π R⁻¹ so B_new = B_old K = Q; dFdz_new = dFdz K.
+        Host-side scipy (one-time precompute)."""
+        from scipy.linalg import qr, solve_triangular
+        np_b = np.asarray(self.B_dense)
+        _, np_r, np_p = qr(np_b, mode="economic", pivoting=True)
+        pmat = np.eye(np_b.shape[1], dtype=np_b.dtype)[:, np_p]
+        rinv = solve_triangular(np_r, np.eye(np_r.shape[0], dtype=np_r.dtype))
+        self.qr_tfm = jnp.asarray(pmat @ rinv)
+        self.qr_tfm_inv = jnp.asarray(np_r @ pmat.T)
+        self.B_dense = self.B_dense @ self.qr_tfm
+        if not self.is_kinematic:
+            self.dFdz_dense = self.dFdz_dense @ self.qr_tfm
+
+    @classmethod
+    def from_skinned_physics_points(cls, phys_pts, init_transform,
+                                    is_kinematic=False,
+                                    normalize_weights_by_samples=False,
+                                    apply_qr=False):
+        """Ref :206."""
+        return cls(pts=phys_pts.pts, yms=phys_pts.yms, prs=phys_pts.prs,
+                   rhos=phys_pts.rhos, appx_vol=phys_pts.appx_vol,
+                   skinning_weights=phys_pts.skinning_weights,
+                   dwdx=phys_pts.dwdx, renderable=phys_pts.renderable,
+                   init_transform=init_transform, is_kinematic=is_kinematic,
+                   normalize_weights_by_samples=normalize_weights_by_samples,
+                   apply_qr=apply_qr)
+
+    def reset_sim_state(self):
+        """Reset handle transforms to the initial deformation. The constant
+        (last) handle has weight 1 everywhere, so placing init_transform in
+        it reproduces the rigid delta exactly (ref :229-247)."""
+        z = jnp.zeros((self.num_handles * 12,), dtype=self.dtype)
+        if self.init_transform is not None:
+            scale = (self.handle_norms[-1]
+                     if self.normalize_weights_by_samples else 1.0)
+            z = z.at[-12:].set(jnp.asarray(self.init_transform).reshape(-1) * scale)
+            if self.apply_qr:
+                z = self.qr_tfm_inv @ z
+        self.z = z
+        self.z_prev = z
+        self.z_dot = jnp.zeros_like(z)
+
+
+class SimplicitsScene:
+    """Scene assembly + jit-compiled implicit time stepping. Ref :257."""
+
+    def __init__(self, direct_solve=True, timestep=0.03, max_newton_steps=5,
+                 max_ls_steps=10, newton_hessian_regularizer=1e-4,
+                 cg_tol=1e-4, cg_iters=100, conv_tol=1e-4, device=None,
+                 use_cuda_graphs=False):
+        # device / use_cuda_graphs accepted for API parity; jit handles both.
+        self.dtype = jnp.float32
+        self.direct_solve = direct_solve
+        self.timestep = float(timestep)
+        self.current_sim_step = 0
+        self.max_newton_steps = int(max_newton_steps)
+        self.max_ls_steps = int(max_ls_steps)
+        self.newton_hessian_regularizer = float(newton_hessian_regularizer)
+        self.cg_tol = float(cg_tol)
+        self.cg_iters = int(cg_iters)
+        self.conv_tol = float(conv_tol)
+
+        self.current_id = 0
+        self.sim_obj_dict = {}
+
+        self.force_dict = {"pt_wise": {}, "defo_grad_wise": {}}
+        self._ready_for_forces = False
+        self._step_fn = None
+
+        self.sim_z = None
+        self.sim_z_prev = None
+        self.sim_z_dot = None
+
+    # ---- object management ----
+    def add_object(self, sim_object, num_qp=None, init_transform=None,
+                   is_kinematic=False, renderable_pts=None,
+                   normalize_weights_by_samples=True, apply_qr=True):
+        """Add a SimplicitsObject (bakes weights) or SkinnedPhysicsPoints.
+        Ref :684."""
+        if self._ready_for_forces:
+            raise RuntimeError("Cannot add object after a force is set")
+        if init_transform is not None:
+            relative = standard_transform_to_relative(init_transform)
+        else:
+            relative = jnp.zeros((3, 4), dtype=self.dtype)
+
+        if isinstance(sim_object, SimplicitsObject):
+            assert num_qp is not None, "'num_qp' required with SimplicitsObject"
+            baked = sim_object.bake(num_qps=num_qp, renderable_pts=renderable_pts)
+        else:
+            assert renderable_pts is None
+            baked = (sim_object.subsample(num_pts=num_qp)
+                     if num_qp is not None else sim_object)
+        obj = SimulatedObject.from_skinned_physics_points(
+            baked, init_transform=relative, is_kinematic=is_kinematic,
+            normalize_weights_by_samples=normalize_weights_by_samples,
+            apply_qr=apply_qr)
+        self.sim_obj_dict[self.current_id] = obj
+        self.current_id += 1
+        return self.current_id - 1
+
+    def get_object(self, obj_idx):
+        return self.sim_obj_dict[obj_idx]
+
+    # ---- scene constants ----
+    def _compute_sim_constants(self):
+        """Stack per-object operators into scene-level dense operators.
+        Ref :386."""
+        objs = list(self.sim_obj_dict.values())
+        if not objs:
+            raise RuntimeError("scene has no objects")
+        self.num_objects = len(objs)
+
+        self.obj_qp_slices = []
+        self.obj_z_slices = []
+        qp0, z0 = 0, 0
+        kin_dofs = []
+        qp_is_kin = []
+        qp_obj_ids = []
+        for oid, obj in self.sim_obj_dict.items():
+            self.obj_qp_slices.append(slice(qp0, qp0 + obj.num_qp))
+            self.obj_z_slices.append(slice(z0, z0 + 12 * obj.num_handles))
+            if obj.is_kinematic:
+                kin_dofs.extend(range(z0, z0 + 12 * obj.num_handles))
+            qp_is_kin.append(np.full(obj.num_qp, int(obj.is_kinematic)))
+            qp_obj_ids.append(np.full(obj.num_qp, oid))
+            qp0 += obj.num_qp
+            z0 += 12 * obj.num_handles
+        self.total_qp = qp0
+        self.total_dofs = z0
+        self.qp_is_kinematic = jnp.asarray(np.concatenate(qp_is_kin),
+                                           dtype=jnp.int32)
+        self.qp_to_object_map = jnp.asarray(np.concatenate(qp_obj_ids),
+                                            dtype=jnp.int32)
+        mask = np.ones(z0, dtype=bool)
+        mask[kin_dofs] = False
+        self.dyn_idx = np.nonzero(mask)[0]
+
+        self.sim_pts = jnp.concatenate([o.pts for o in objs], axis=0)
+        self.sim_rhos = jnp.concatenate([o.rhos for o in objs])
+        self.sim_vols = jnp.concatenate([o.sample_vols for o in objs])
+        self.sim_masses = jnp.concatenate([o.sample_masses for o in objs])
+        yms = jnp.concatenate([o.yms for o in objs])
+        prs = jnp.concatenate([o.prs for o in objs])
+        self.sim_mus, self.sim_lams = to_lame(yms, prs)
+
+        # block-diagonal dense global operators
+        def blockdiag(mats, rows, cols):
+            out = jnp.zeros((sum(rows), sum(cols)), dtype=self.dtype)
+            r, c = 0, 0
+            for m, nr, nc in zip(mats, rows, cols):
+                out = out.at[r:r + nr, c:c + nc].set(m)
+                r += nr
+                c += nc
+            return out
+
+        self.sim_B = blockdiag([o.B_dense for o in objs],
+                               [3 * o.num_qp for o in objs],
+                               [12 * o.num_handles for o in objs])
+        self.sim_dFdz = blockdiag([o.dFdz_dense for o in objs],
+                                  [9 * o.num_qp for o in objs],
+                                  [12 * o.num_handles for o in objs])
+        m_diag = jnp.repeat(self.sim_masses, 3)
+        self.sim_BMB = self.sim_B.T @ (m_diag[:, None] * self.sim_B)
+
+        # raw (pre-QR) weights for the collision jacobian; pre-QR LBS rows
+        self.sim_B_raw = blockdiag(
+            [lbs_matrix(o.pts, o.skinning_weights) for o in objs],
+            [3 * o.num_qp for o in objs],
+            [12 * o.num_handles for o in objs])
+
+        # QR rotations (ref :487-516)
+        if any(o.apply_qr for o in objs):
+            blocks, red_blocks, red_inv_blocks = [], [], []
+            for o in objs:
+                dd = 12 * o.num_handles
+                tf = o.qr_tfm if o.apply_qr else jnp.eye(dd, dtype=self.dtype)
+                tfi = o.qr_tfm_inv if o.apply_qr else jnp.eye(dd, dtype=self.dtype)
+                blocks.append(tf)
+                if not o.is_kinematic:
+                    red_blocks.append(tf)
+                    red_inv_blocks.append(tfi)
+            self.sim_qr_tfm = blockdiag(blocks, [b.shape[0] for b in blocks],
+                                        [b.shape[1] for b in blocks])
+            if red_blocks:
+                self.sim_qr_tfm_red = blockdiag(
+                    red_blocks, [b.shape[0] for b in red_blocks],
+                    [b.shape[1] for b in red_blocks])
+                self.sim_qr_tfm_inv_red = blockdiag(
+                    red_inv_blocks, [b.shape[0] for b in red_inv_blocks],
+                    [b.shape[1] for b in red_inv_blocks])
+            else:
+                self.sim_qr_tfm_red = None
+                self.sim_qr_tfm_inv_red = None
+        else:
+            self.sim_qr_tfm = None
+            self.sim_qr_tfm_red = None
+            self.sim_qr_tfm_inv_red = None
+
+        elastic = NeohookeanElasticMaterial(
+            mu=self.sim_mus, lam=self.sim_lams,
+            integration_pt_volume=self.sim_vols, reparameterize_lame=True)
+        self.force_dict["defo_grad_wise"]["material"] = {
+            "object": elastic, "coeff": 1.0}
+
+    def _get_scene_ready_for_forces(self):
+        if not self.sim_obj_dict:
+            raise RuntimeError("scene has no objects to apply forces on")
+        self._compute_sim_constants()
+        self.reset_scene()
+        self._ready_for_forces = True
+
+    # ---- forces (ref :755-875) ----
+    def set_scene_gravity(self, acc_gravity=(0.0, 9.8, 0.0), gravity_coeff=1.0):
+        if not self._ready_for_forces:
+            self._get_scene_ready_for_forces()
+        g = jnp.asarray(acc_gravity, dtype=self.dtype)
+        self.force_dict["pt_wise"]["gravity"] = {
+            "object": Gravity(g, self.sim_rhos, self.sim_vols),
+            "coeff": float(gravity_coeff)}
+        self._step_fn = None
+
+    def set_scene_floor(self, floor_height=0.0, floor_axis=1,
+                        floor_penalty=10000.0, flip_floor=False):
+        if not self._ready_for_forces:
+            self._get_scene_ready_for_forces()
+        self.force_dict["pt_wise"]["floor"] = {
+            "object": Floor(floor_height, floor_axis, flip_floor,
+                            jnp.ones_like(self.sim_vols)),
+            "coeff": float(floor_penalty)}
+        self._step_fn = None
+
+    def set_object_boundary_condition(self, obj_idx, name, fcn,
+                                      bdry_penalty=10000.0, pinned_x=None):
+        """Pin points of an object selected by ``fcn(pts) -> bool mask``.
+        Ref :801."""
+        if not self._ready_for_forces:
+            self._get_scene_ready_for_forces()
+        boundary = Boundary(self.sim_vols)
+        sl = self.obj_qp_slices[obj_idx]
+        deformed = self.get_object_deformed_pts(obj_idx, points="simulated")
+        sel = np.nonzero(np.asarray(fcn(deformed)))[0]
+        global_idx = np.arange(sl.start, sl.stop)[sel]
+        bdry_pos = deformed[sel]
+        if pinned_x is None:
+            pinned_x = bdry_pos
+        boundary.set_pinned(jnp.asarray(global_idx), jnp.asarray(pinned_x))
+        self.force_dict["pt_wise"][name] = {
+            "object": boundary, "coeff": float(bdry_penalty)}
+        self._step_fn = None
+        return pinned_x
+
+    def enable_collisions(self, collision_particle_radius=0.1,
+                          detection_ratio=1.5, impenetrable_barrier_ratio=0.25,
+                          collision_penalty=1000.0, max_contact_pairs=10000,
+                          friction=0.5):
+        """Ref :838."""
+        if not self._ready_for_forces:
+            self._get_scene_ready_for_forces()
+        collision = Collision(
+            dt=self.timestep,
+            collision_particle_radius=collision_particle_radius,
+            detection_ratio=detection_ratio,
+            impenetrable_barrier_ratio=impenetrable_barrier_ratio,
+            collision_penalty_stiffness=collision_penalty,
+            friction_regularization=0.1, friction_fluid=0.1,
+            friction=friction,
+            max_contacting_pairs=min(max_contact_pairs,
+                                     self.total_qp * (self.total_qp - 1) // 2),
+            bounds=True)
+        self.force_dict["collision"] = {"object": collision,
+                                        "coeff": float(collision_penalty)}
+        self._step_fn = None
+
+    # ---- state ----
+    def reset_scene(self):
+        """Ref :943."""
+        self.current_sim_step = 0
+        zs = []
+        for obj in self.sim_obj_dict.values():
+            obj.reset_sim_state()
+            zs.append(obj.z)
+        self.sim_z = jnp.concatenate(zs)
+        self.sim_z_prev = jnp.zeros_like(self.sim_z)
+        self.sim_z_dot = jnp.zeros_like(self.sim_z)
+
+    def set_object_initial_transform(self, object_id, init_transform):
+        """Ref :594."""
+        if self.current_sim_step > 0:
+            raise ValueError("cannot set initial transform mid-simulation")
+        obj = self.sim_obj_dict[object_id]
+        if obj.is_kinematic:
+            raise ValueError("use set_kinematic_object_transform for kinematic objects")
+        obj.init_transform = standard_transform_to_relative(init_transform)
+        self.reset_scene()
+
+    def set_kinematic_object_transform(self, obj_idx, transform):
+        """Script a kinematic object's motion mid-sim. Ref :734."""
+        obj = self.sim_obj_dict[obj_idx]
+        if not obj.is_kinematic:
+            raise ValueError("object is not kinematic")
+        obj.init_transform = standard_transform_to_relative(transform)
+        obj.reset_sim_state()
+        sl = self.obj_z_slices[obj_idx]
+        self.sim_z = self.sim_z.at[sl].set(obj.z)
+
+    # ---- queries ----
+    def _get_object_transforms_internal(self, object_id):
+        """Transforms in the (normalized, pre-QR) weight space. Ref :623."""
+        obj = self.sim_obj_dict[object_id]
+        if self.sim_z is not None and self._ready_for_forces:
+            tfms = self.sim_z[self.obj_z_slices[object_id]]
+        else:
+            tfms = obj.z
+        if obj.apply_qr:
+            tfms = obj.qr_tfm @ tfms
+        tfms = tfms.reshape(-1, 3, 4)
+        pad = jnp.zeros((tfms.shape[0], 1, 4), dtype=self.dtype).at[:, 0, 3].set(1.0)
+        return jnp.concatenate([tfms, pad], axis=1)
+
+    def get_object_transforms(self, object_id):
+        """Relative 4x4 transforms in raw physical space. Ref :657."""
+        tfms = self._get_object_transforms_internal(object_id)
+        obj = self.sim_obj_dict[object_id]
+        if obj.normalize_weights_by_samples:
+            tfms = tfms.at[:, :3, :].set(
+                tfms[:, :3, :] / obj.handle_norms.reshape(-1, 1, 1))
+        return tfms
+
+    def get_object_deformed_pts(self, obj_idx, points="simulated"):
+        """LBS of the object's (simulated or renderable) points by its
+        current transforms. Ref :1265."""
+        obj = self.sim_obj_dict[obj_idx]
+        if points == "rendered":
+            if obj.renderable is None:
+                raise ValueError(f"object {obj_idx} has no renderable points")
+            pts = obj.renderable.pts
+            weights = obj.renderable.skinning_weights
+            tfms = self.get_object_transforms(obj_idx)[:, :3, :]
+        else:
+            pts = obj.pts
+            weights = obj.skinning_weights
+            tfms = self._get_object_transforms_internal(obj_idx)[:, :3, :]
+        return standard_lbs(pts, tfms[None], weights).reshape(pts.shape[0], 3)
+
+    def get_object_point_transforms(self, obj_idx, points="simulated"):
+        """Absolute per-point 4x4 transforms. Ref :1297."""
+        obj = self.sim_obj_dict[obj_idx]
+        if points == "rendered":
+            weights = obj.renderable.skinning_weights
+            transforms = self.get_object_transforms(obj_idx)
+        else:
+            weights = obj.skinning_weights
+            transforms = self._get_object_transforms_internal(obj_idx)
+        per_pt = jnp.sum(weights[..., None, None] * transforms[None], axis=1)
+        per_pt = per_pt.at[:, :3, :3].add(jnp.eye(3, dtype=per_pt.dtype))
+        per_pt = per_pt.at[:, 3, :].set(0.0)
+        return per_pt.at[:, 3, 3].set(1.0)
+
+    # ---- the jitted step ----
+    def _build_step_fn(self):
+        """Compose energy/gradient/Hessian closures over the current static
+        force configuration and jit the full Newton step (ref :959-1252 +
+        run_sim_step :1346)."""
+        dt = self.timestep
+        B = self.sim_B
+        B_raw = self.sim_B_raw
+        dFdz = self.sim_dFdz
+        BMB = self.sim_BMB
+        pts = self.sim_pts
+        dyn_idx = self.dyn_idx
+        reg = self.newton_hessian_regularizer
+        eye3 = jnp.eye(3, dtype=self.dtype)
+
+        pt_forces = [(f["object"], f["coeff"])
+                     for f in self.force_dict["pt_wise"].values()]
+        defo_forces = [(f["object"], f["coeff"])
+                       for f in self.force_dict["defo_grad_wise"].values()]
+        collision_entry = self.force_dict.get("collision")
+        collision = collision_entry["object"] if collision_entry else None
+        collision_coeff = collision_entry["coeff"] if collision_entry else None
+        obj_slices = list(zip(self.obj_qp_slices, self.obj_z_slices))
+        objs = list(self.sim_obj_dict.values())
+        qr_red = self.sim_qr_tfm_red
+        qr_red_inv = self.sim_qr_tfm_inv_red
+        qp_obj_ids = self.qp_to_object_map
+        qp_is_kin = self.qp_is_kinematic
+
+        def dx_of(z):
+            return (B @ z).reshape(-1, 3)
+
+        def F_of(z):
+            return (dFdz @ z).reshape(-1, 3, 3) + eye3
+
+        def assemble_energy(z, delta_dz, contacts, cJ):
+            dx = dx_of(z)
+            F = F_of(z)
+            pe = jnp.asarray(0.0, dtype=self.dtype)
+            for obj, coeff in pt_forces:
+                pe = pe + obj.energy(dx, pts, coeff)
+            for obj, coeff in defo_forces:
+                pe = pe + obj.energy(F, coeff)
+            if collision is not None:
+                pe = pe + collision.energy(contacts, dx, collision_coeff)
+            ke = 0.5 * delta_dz @ (BMB @ delta_dz)
+            return ke + dt * dt * pe
+
+        def assemble_gradient(z, delta_dz, contacts, cJ):
+            dx = dx_of(z)
+            F = F_of(z)
+            dEdx = jnp.zeros_like(dx)
+            for obj, coeff in pt_forces:
+                dEdx = dEdx + obj.gradient(dx, pts, coeff)
+            dEdF = jnp.zeros_like(F)
+            for obj, coeff in defo_forces:
+                dEdF = dEdF + obj.gradient(F, coeff)
+            g = B.T @ dEdx.reshape(-1) + dFdz.T @ dEdF.reshape(-1)
+            if collision is not None:
+                c_dEdx = collision.gradient(contacts, dx, collision_coeff)
+                g = g + cJ.T @ c_dEdx.reshape(-1)
+            return BMB @ delta_dz + dt * dt * g
+
+        def assemble_hessian(z, contacts, cJ):
+            dx = dx_of(z)
+            F = F_of(z)
+            d2Edx2 = jnp.zeros(dx.shape[:1] + (3, 3), dtype=self.dtype)
+            for obj, coeff in pt_forces:
+                d2Edx2 = d2Edx2 + obj.hessian(dx, pts, coeff)
+            d2EdF2 = jnp.zeros(F.shape[:1] + (9, 9), dtype=self.dtype)
+            for obj, coeff in defo_forces:
+                d2EdF2 = d2EdF2 + obj.hessian(F, coeff)
+            H = jnp.zeros((self.total_dofs, self.total_dofs), dtype=self.dtype)
+            for obj, (qsl, zsl) in zip(objs, obj_slices):
+                h_ii = hess_reduction(obj.B_dense, d2Edx2[qsl]) + \
+                    hess_reduction(obj.dFdz_dense, d2EdF2[qsl])
+                H = H.at[zsl, zsl].add(h_ii)
+            if collision is not None:
+                c_h = collision.hessian(contacts, dx, collision_coeff)  # (C,3,3)
+                H = H + hess_reduction(cJ, c_h)
+            return BMB + dt * dt * H + reg * jnp.eye(self.total_dofs,
+                                                     dtype=self.dtype)
+
+        def step(z, z_prev_in, z_dot):
+            # detect collisions at step start (ref run_sim_step :1353)
+            if collision is not None:
+                dx0 = dx_of(z)
+                contacts = collision.detect_collisions(
+                    dx0, pts, qp_obj_ids, qp_is_kin)
+                cJ, cJa, cJb = collision.calculate_jacobian(
+                    contacts, B_raw, qr_tfm=self.sim_qr_tfm)
+            else:
+                contacts, cJ, cJa, cJb = None, None, None, None
+
+            z_prev = z
+
+            def delta_of(z_):
+                return z_ - z_prev - dt * z_dot
+
+            energy_fn = lambda z_: assemble_energy(z_, delta_of(z_), contacts, cJ)  # noqa: E731
+            grad_fn = lambda z_: assemble_gradient(z_, delta_of(z_), contacts, cJ)  # noqa: E731
+            hess_fn = lambda z_: assemble_hessian(z_, contacts, cJ)  # noqa: E731
+
+            if collision is not None and collision.bounds:
+                def bounds_fn(dz_full, z_):
+                    b = collision.get_bounds(contacts, dx_of(dz_full),
+                                             dx_of(z_), cJa, cJb)
+                    return b
+            else:
+                bounds_fn = None
+
+            z_new = newtons_method(
+                z, energy_fn, grad_fn, hess_fn, bounds_fcn=bounds_fn,
+                dyn_idx=dyn_idx, nm_max_iters=self.max_newton_steps,
+                cg_tol=self.cg_tol, cg_iters=self.cg_iters,
+                conv_tol=self.conv_tol, direct_solve=self.direct_solve,
+                max_ls_steps=self.max_ls_steps,
+                bounds_qr_tfm=qr_red, bounds_qr_tfm_inv=qr_red_inv)
+            z_dot_new = (z_new - z_prev) / dt
+            return z_new, z_prev, z_dot_new
+
+        return jax.jit(step)
+
+    def run_sim_step(self):
+        """Run one implicit time step — a single compiled XLA call.
+        Ref :1346."""
+        if not self._ready_for_forces:
+            raise RuntimeError("Forces need to be set")
+        if self._step_fn is None:
+            self._step_fn = self._build_step_fn()
+        self.sim_z, self.sim_z_prev, self.sim_z_dot = self._step_fn(
+            self.sim_z, self.sim_z_prev, self.sim_z_dot)
+        self.current_sim_step += 1
