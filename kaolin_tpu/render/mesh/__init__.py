@@ -1,0 +1,7 @@
+from kaolin_tpu.render.mesh.dibr import dibr_rasterization, dibr_soft_mask  # noqa: F401
+from kaolin_tpu.render.mesh.rasterization import rasterize  # noqa: F401
+from kaolin_tpu.render.mesh.utils import (  # noqa: F401
+    prepare_vertices,
+    spherical_harmonic_lighting,
+    texture_mapping,
+)

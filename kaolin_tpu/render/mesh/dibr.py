@@ -1,0 +1,121 @@
+"""DIB-R soft silhouette + full rasterization wrapper.
+
+TPU-native analog of reference ``kaolin/render/mesh/dibr.py`` (dibr_soft_mask
+:75, dibr_rasterization :119) and the kernel
+``csrc/render/mesh/dibr_soft_mask_cuda.cu:40-184``.
+
+Soft mask semantics (per the kernel): covered pixels get 1; uncovered pixels
+accumulate ``1 − ∏(1 − exp(−sigmainv·d²/mult²))`` over faces whose
+boxlen-enlarged bbox contains the pixel, with d² the min squared distance to
+the 3 edges (perpendicular where the projection falls on the segment) and 3
+vertices. The reference truncates to the first ``knum`` faces in index order;
+this version includes all faces in the product (strictly more accurate —
+``knum`` is accepted for API parity).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from kaolin_tpu.render.mesh.rasterization import rasterize
+
+__all__ = ["dibr_soft_mask", "dibr_rasterization"]
+
+_EPS = 1e-10
+
+
+def _edge_vertex_sqdist(px, py, verts, multiplier):
+    """Min squared distance from pixel to a triangle's edges/vertices in
+    image space, broadcast over (..., T) faces; kernel :102-160."""
+    dists = []
+    for i in range(3):
+        x1 = verts[..., i, 0]
+        y1 = verts[..., i, 1]
+        x2 = verts[..., (i + 1) % 3, 0]
+        y2 = verts[..., (i + 1) % 3, 1]
+        A = y2 - y1
+        B = x1 - x2
+        C = x2 * y1 - x1 * y2
+        up = A * px + B * py + C
+        down = A * A + B * B
+        x3 = (B * B * px - A * B * py - A * C) / (down + _EPS)
+        y3 = (A * A * py - A * B * px - B * C) / (down + _EPS)
+        direct = (x3 - x1) * (x3 - x2) + (y3 - y1) * (y3 - y2)
+        perp = up * up / (down + _EPS)
+        bad = 4.0 * multiplier * multiplier
+        dists.append(jnp.where(direct > 0, bad, perp))
+    for i in range(3):
+        x1 = verts[..., i, 0]
+        y1 = verts[..., i, 1]
+        dists.append((px - x1) ** 2 + (py - y1) ** 2)
+    return jnp.min(jnp.stack(dists, axis=-1), axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "tile"))
+def _soft_mask_unbatched(face_vertices_image, selected_face_idx, sigmainv,
+                         boxlen, multiplier, height, width, tile=128):
+    from kaolin_tpu.render.mesh.rasterization import _pixel_coords
+    dtype = face_vertices_image.dtype
+    f = face_vertices_image.shape[0]
+    num_tiles = -(-f // tile)
+    pad = num_tiles * tile - f
+    fvi = jnp.pad(face_vertices_image, ((0, pad), (0, 0), (0, 0)))
+    vmask = jnp.pad(jnp.ones((f,), dtype=bool), (0, pad))
+    fvi_t = fvi.reshape(num_tiles, tile, 3, 2)
+    vm_t = vmask.reshape(num_tiles, tile)
+
+    px, py = _pixel_coords(height, width, multiplier, dtype)
+    bmin = jnp.min(fvi_t, axis=2) - boxlen * multiplier  # (NT, T, 2)
+    bmax = jnp.max(fvi_t, axis=2) + boxlen * multiplier
+
+    def body(allprob, inp):
+        fvi_i, vm_i, bmin_i, bmax_i = inp
+        in_box = ((px[..., None] >= bmin_i[None, None, :, 0])
+                  & (px[..., None] < bmax_i[None, None, :, 0])
+                  & (py[..., None] >= bmin_i[None, None, :, 1])
+                  & (py[..., None] < bmax_i[None, None, :, 1])
+                  & vm_i[None, None])
+        d2 = _edge_vertex_sqdist(px[..., None], py[..., None],
+                                 fvi_i[None, None], multiplier)
+        prob = jnp.where(in_box,
+                         jnp.exp(-sigmainv * d2 / (multiplier * multiplier)),
+                         0.0)
+        return allprob * jnp.prod(1.0 - prob, axis=-1), None
+
+    init = jnp.ones((height, width), dtype=dtype)
+    allprob, _ = jax.lax.scan(body, init, (fvi_t, vm_t, bmin, bmax))
+    soft = 1.0 - allprob
+    return jnp.where(selected_face_idx >= 0, 1.0, soft)
+
+
+def dibr_soft_mask(face_vertices_image, selected_face_idx, sigmainv=7000,
+                   boxlen=0.02, knum=30, multiplier=1000.0):
+    """Soft foreground mask for silhouette losses → (B, H, W). Ref :75.
+    Differentiable w.r.t. face_vertices_image."""
+    del knum  # all faces participate (see module docstring)
+    height, width = selected_face_idx.shape[1:3]
+    scaled = face_vertices_image * multiplier
+    return jax.vmap(
+        lambda v, s: _soft_mask_unbatched(v, s, sigmainv, boxlen, multiplier,
+                                          height, width)
+    )(scaled, selected_face_idx)
+
+
+def dibr_rasterization(height, width, face_vertices_z, face_vertices_image,
+                       face_features, face_normals_z, sigmainv=7000,
+                       boxlen=0.02, knum=30, multiplier=None, eps=None,
+                       rast_backend=None):
+    """Full DIB-R: rasterize features + soft mask, culling back faces
+    (``face_normals_z > 0`` are valid). Ref :119.
+
+    Returns (image_features, soft_mask (B, H, W), face_idx (B, H, W))."""
+    valid_faces = face_normals_z >= 0.0
+    image_features, face_idx = rasterize(
+        height, width, face_vertices_z, face_vertices_image, face_features,
+        valid_faces=valid_faces, multiplier=multiplier, eps=eps)
+    if multiplier is None:
+        multiplier = 1000.0
+    soft_mask = dibr_soft_mask(face_vertices_image, face_idx, sigmainv,
+                               boxlen, knum, multiplier)
+    return image_features, soft_mask, face_idx
