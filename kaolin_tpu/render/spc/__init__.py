@@ -1,0 +1,10 @@
+from kaolin_tpu.render.spc.raytrace import (  # noqa: F401
+    cumprod,
+    cumsum,
+    diff,
+    exponential_integration,
+    mark_pack_boundaries,
+    prod_reduce,
+    sum_reduce,
+    unbatched_raytrace,
+)
