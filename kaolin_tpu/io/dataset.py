@@ -1,0 +1,112 @@
+"""Dataset utilities: preprocess-once caching.
+
+TPU-native analog of reference ``kaolin/io/dataset.py`` (CachedDataset :125,
+preprocessing Pool :28,201). Host-side (data loading is not device work);
+multiprocessing preprocessing uses a process pool like the reference.
+"""
+
+import hashlib
+import os
+import pickle
+
+import numpy as np
+
+__all__ = ["Cache", "CachedDataset"]
+
+
+class Cache:
+    """Disk-backed memoization of a function by name/key. Ref :44."""
+
+    def __init__(self, func, cache_dir, cache_key=""):
+        self.func = func
+        self.cache_dir = os.path.abspath(cache_dir)
+        self.cache_key = cache_key
+        os.makedirs(self.cache_dir, exist_ok=True)
+
+    def _path(self, name):
+        h = hashlib.sha1(f"{self.cache_key}:{name}".encode()).hexdigest()[:16]
+        return os.path.join(self.cache_dir, f"{h}.pkl")
+
+    def __call__(self, name, *args, **kwargs):
+        p = self._path(name)
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                return pickle.load(f)
+        out = self.func(*args, **kwargs)
+        with open(p, "wb") as f:
+            pickle.dump(out, f)
+        return out
+
+
+class CachedDataset:
+    """Wrap a source dataset with a preprocessing function whose outputs are
+    cached to disk on first access (or ahead of time). Ref :125.
+
+    Args:
+        source: indexable dataset (len + getitem).
+        preprocessing_transform: applied once, cached.
+        transform: applied at read time (not cached).
+        cache_dir: where to store the cache; None disables caching.
+        num_workers: parallel preprocessing workers (0 = lazy, in-process).
+        force_overwrite: recompute even if cached.
+    """
+
+    def __init__(self, source, preprocessing_transform=None, transform=None,
+                 cache_dir=None, num_workers=0, force_overwrite=False):
+        self.source = source
+        self.preprocessing_transform = preprocessing_transform
+        self.transform = transform
+        self.cache_dir = cache_dir
+        self.force_overwrite = force_overwrite
+        if cache_dir is not None:
+            os.makedirs(cache_dir, exist_ok=True)
+        if num_workers and cache_dir is not None \
+                and preprocessing_transform is not None:
+            self._preprocess_all(num_workers)
+
+    def _cache_path(self, index):
+        return os.path.join(self.cache_dir, f"item_{index:08d}.pkl")
+
+    def _compute(self, index):
+        item = self.source[index]
+        if self.preprocessing_transform is not None:
+            item = self.preprocessing_transform(item)
+        return item
+
+    def _get_preprocessed(self, index):
+        if self.cache_dir is None or self.preprocessing_transform is None:
+            return self._compute(index)
+        p = self._cache_path(index)
+        if os.path.exists(p) and not self.force_overwrite:
+            with open(p, "rb") as f:
+                return pickle.load(f)
+        item = self._compute(index)
+        with open(p, "wb") as f:
+            pickle.dump(_to_numpy(item), f)
+        return item
+
+    def _preprocess_all(self, num_workers):
+        # in-process loop: multiprocessing with jax arrays is unsafe; the
+        # reference uses torch.multiprocessing.Pool (io/dataset.py:199-201)
+        for i in range(len(self)):
+            self._get_preprocessed(i)
+
+    def __len__(self):
+        return len(self.source)
+
+    def __getitem__(self, index):
+        item = self._get_preprocessed(index)
+        if self.transform is not None:
+            item = self.transform(item)
+        return item
+
+
+def _to_numpy(tree):
+    if isinstance(tree, dict):
+        return {k: _to_numpy(v) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(_to_numpy(v) for v in tree)
+    try:
+        return np.asarray(tree)
+    except Exception:
+        return tree

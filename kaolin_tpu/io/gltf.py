@@ -1,0 +1,247 @@
+"""glTF 2.0 mesh import (gltf + glb) with PBR materials.
+
+TPU-native analog of reference ``kaolin/io/gltf.py`` (import_mesh :368,
+material extraction :465) — self-contained parser (JSON + binary buffers),
+no pygltflib dependency. Supports POSITION/NORMAL/TEXCOORD_0 attributes,
+indexed triangles, node hierarchy transforms, and metallic-roughness PBR
+materials with textures.
+"""
+
+import base64
+import io as _io
+import json
+import os
+import struct
+
+import jax.numpy as jnp
+import numpy as np
+
+from kaolin_tpu.rep.surface_mesh import SurfaceMesh
+
+__all__ = ["import_mesh", "import_meshes"]
+
+_COMPONENT_TYPES = {
+    5120: ("i1", 1), 5121: ("u1", 1), 5122: ("i2", 2), 5123: ("u2", 2),
+    5125: ("u4", 4), 5126: ("f4", 4),
+}
+_NUM_COMPONENTS = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4,
+                   "MAT4": 16}
+
+
+def _load_gltf(path):
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] == b"glTF":
+        # GLB container
+        _, version, _length = struct.unpack("<III", data[:12])
+        pos = 12
+        gltf = None
+        bin_chunk = None
+        while pos < len(data):
+            clen, ctype = struct.unpack("<II", data[pos:pos + 8])
+            chunk = data[pos + 8:pos + 8 + clen]
+            if ctype == 0x4E4F534A:  # JSON
+                gltf = json.loads(chunk)
+            elif ctype == 0x004E4942:  # BIN
+                bin_chunk = chunk
+            pos += 8 + clen
+        return gltf, bin_chunk
+    return json.loads(data), None
+
+
+def _load_buffers(gltf, bin_chunk, root):
+    buffers = []
+    for buf in gltf.get("buffers", []):
+        uri = buf.get("uri")
+        if uri is None:
+            buffers.append(bin_chunk)
+        elif uri.startswith("data:"):
+            buffers.append(base64.b64decode(uri.split(",", 1)[1]))
+        else:
+            with open(os.path.join(root, uri), "rb") as f:
+                buffers.append(f.read())
+    return buffers
+
+
+def _read_accessor(gltf, buffers, idx):
+    acc = gltf["accessors"][idx]
+    view = gltf["bufferViews"][acc["bufferView"]]
+    dt, isize = _COMPONENT_TYPES[acc["componentType"]]
+    ncomp = _NUM_COMPONENTS[acc["type"]]
+    count = acc["count"]
+    buf = buffers[view.get("buffer", 0)]
+    offset = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
+    stride = view.get("byteStride", isize * ncomp)
+    if stride == isize * ncomp:
+        arr = np.frombuffer(buf, dtype="<" + dt, count=count * ncomp,
+                            offset=offset).reshape(count, ncomp)
+    else:
+        # interleaved buffer view: strided window over the raw bytes
+        raw = np.frombuffer(buf, dtype=np.uint8,
+                            count=(count - 1) * stride + isize * ncomp,
+                            offset=offset)
+        strided = np.lib.stride_tricks.as_strided(
+            raw, shape=(count, isize * ncomp), strides=(stride, 1))
+        arr = np.ascontiguousarray(strided).view("<" + dt).reshape(count, ncomp)
+    return arr
+
+
+def _read_texture(gltf, buffers, root, tex_idx):
+    from PIL import Image
+    tex = gltf["textures"][tex_idx]
+    img = gltf["images"][tex["source"]]
+    if "uri" in img:
+        uri = img["uri"]
+        if uri.startswith("data:"):
+            raw = base64.b64decode(uri.split(",", 1)[1])
+            pil = Image.open(_io.BytesIO(raw))
+        else:
+            pil = Image.open(os.path.join(root, uri))
+    else:
+        view = gltf["bufferViews"][img["bufferView"]]
+        buf = buffers[view.get("buffer", 0)]
+        off = view.get("byteOffset", 0)
+        pil = Image.open(_io.BytesIO(buf[off:off + view["byteLength"]]))
+    arr = np.asarray(pil.convert("RGB"), dtype=np.float32) / 255.0
+    return jnp.asarray(np.transpose(arr, (2, 0, 1)))
+
+
+def _material_to_pbr(gltf, buffers, root, mat):
+    from kaolin_tpu.render.materials import PBRMaterial
+    kwargs = {"material_name": mat.get("name", "")}
+    pmr = mat.get("pbrMetallicRoughness", {})
+    if "baseColorFactor" in pmr:
+        kwargs["diffuse_color"] = np.asarray(pmr["baseColorFactor"][:3])
+    if "baseColorTexture" in pmr:
+        kwargs["diffuse_texture"] = _read_texture(
+            gltf, buffers, root, pmr["baseColorTexture"]["index"])
+        kwargs["diffuse_colorspace"] = "srgb"
+    if "metallicFactor" in pmr:
+        kwargs["metallic_value"] = float(pmr["metallicFactor"])
+    if "roughnessFactor" in pmr:
+        kwargs["roughness_value"] = float(pmr["roughnessFactor"])
+    if "metallicRoughnessTexture" in pmr:
+        mr = _read_texture(gltf, buffers, root,
+                           pmr["metallicRoughnessTexture"]["index"])
+        kwargs["roughness_texture"] = mr[1:2]
+        kwargs["metallic_texture"] = mr[2:3]
+    if "normalTexture" in mat:
+        kwargs["normals_texture"] = _read_texture(
+            gltf, buffers, root, mat["normalTexture"]["index"])
+    return PBRMaterial(**kwargs)
+
+
+def _node_transforms(gltf):
+    """World 4x4 transform per node (column-vector convention)."""
+    nodes = gltf.get("nodes", [])
+    world = [None] * len(nodes)
+
+    def local(node):
+        if "matrix" in node:
+            return np.asarray(node["matrix"], dtype=np.float64).reshape(4, 4).T
+        m = np.eye(4)
+        if "scale" in node:
+            m = np.diag(list(node["scale"]) + [1.0]) @ m
+        if "rotation" in node:
+            x, y, z, w = node["rotation"]
+            r = np.array([
+                [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y), 0],
+                [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x), 0],
+                [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y), 0],
+                [0, 0, 0, 1]])
+            m = r @ m
+        if "translation" in node:
+            t = np.eye(4)
+            t[:3, 3] = node["translation"]
+            m = t @ m
+        return m
+
+    def visit(i, parent):
+        world[i] = parent @ local(nodes[i])
+        for c in nodes[i].get("children", []):
+            visit(c, world[i])
+
+    scenes = gltf.get("scenes", [{}])
+    roots = scenes[gltf.get("scene", 0)].get("nodes", list(range(len(nodes))))
+    for r in roots:
+        visit(r, np.eye(4))
+    for i in range(len(nodes)):
+        if world[i] is None:
+            world[i] = local(nodes[i])
+    return world
+
+
+def import_meshes(path):
+    """All meshes in the file → list of SurfaceMesh (world-transformed)."""
+    gltf, bin_chunk = _load_gltf(path)
+    root = os.path.dirname(path)
+    buffers = _load_buffers(gltf, bin_chunk, root)
+    world = _node_transforms(gltf)
+
+    out = []
+    for ni, node in enumerate(gltf.get("nodes", [])):
+        if "mesh" not in node:
+            continue
+        mesh_def = gltf["meshes"][node["mesh"]]
+        for prim in mesh_def.get("primitives", []):
+            if prim.get("mode", 4) != 4:  # triangles only
+                continue
+            attrs = prim["attributes"]
+            pos = _read_accessor(gltf, buffers, attrs["POSITION"]).astype(np.float32)
+            posh = np.concatenate([pos, np.ones_like(pos[:, :1])], axis=1)
+            pos = (posh @ world[ni].T)[:, :3].astype(np.float32)
+            if "indices" in prim:
+                faces = _read_accessor(gltf, buffers, prim["indices"])
+                faces = faces.reshape(-1, 3).astype(np.int64)
+            else:
+                faces = np.arange(pos.shape[0]).reshape(-1, 3)
+            kwargs = dict(vertices=jnp.asarray(pos),
+                          faces=jnp.asarray(faces))
+            if "NORMAL" in attrs:
+                nrm = _read_accessor(gltf, buffers, attrs["NORMAL"]).astype(np.float32)
+                rot = world[ni][:3, :3]
+                nrm = (nrm @ np.linalg.inv(rot)).astype(np.float32)
+                kwargs["normals"] = jnp.asarray(nrm)
+                kwargs["face_normals_idx"] = jnp.asarray(faces)
+            if "TEXCOORD_0" in attrs:
+                uv = _read_accessor(gltf, buffers, attrs["TEXCOORD_0"]).astype(np.float32)
+                uv = np.stack([uv[:, 0], 1.0 - uv[:, 1]], axis=-1)  # gl y-up
+                kwargs["uvs"] = jnp.asarray(uv)
+                kwargs["face_uvs_idx"] = jnp.asarray(faces)
+            mesh = SurfaceMesh(**kwargs)
+            if "material" in prim:
+                mat = _material_to_pbr(gltf, buffers, root,
+                                       gltf["materials"][prim["material"]])
+                mesh.materials = [mat]
+                mesh.material_assignments = jnp.zeros(
+                    (faces.shape[0],), dtype=jnp.int64)
+            out.append(mesh)
+    return out
+
+
+def import_mesh(path):
+    """Merged mesh of a glTF file (all primitives concatenated into one
+    unbatched SurfaceMesh, like the reference). Ref :368."""
+    meshes = import_meshes(path)
+    if not meshes:
+        raise ValueError(f"no triangle meshes in {path}")
+    if len(meshes) == 1:
+        return meshes[0]
+    verts, faces, materials, assignments = [], [], [], []
+    v_off = 0
+    for m in meshes:
+        verts.append(np.asarray(m.vertices))
+        faces.append(np.asarray(m.faces) + v_off)
+        mat_idx = -1
+        if m.materials:
+            mat_idx = len(materials)
+            materials.extend(m.materials)
+        assignments.append(np.full((m.faces.shape[0],), mat_idx,
+                                   dtype=np.int64))
+        v_off += m.vertices.shape[0]
+    out = SurfaceMesh(vertices=jnp.asarray(np.concatenate(verts)),
+                      faces=jnp.asarray(np.concatenate(faces)))
+    if materials:
+        out.materials = materials
+        out.material_assignments = jnp.asarray(np.concatenate(assignments))
+    return out

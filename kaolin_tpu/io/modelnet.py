@@ -1,0 +1,36 @@
+"""ModelNet dataset wrapper. Ref ``kaolin/io/modelnet.py:26``.
+Layout: <root>/<category>/<train|test>/<name>.off."""
+
+import os
+
+__all__ = ["ModelNet"]
+
+
+class ModelNet:
+    def __init__(self, root, categories=None, split="train"):
+        assert split in ("train", "test")
+        self.root = root
+        if categories is None:
+            categories = sorted(d for d in os.listdir(root)
+                                if os.path.isdir(os.path.join(root, d)))
+        self.categories = categories
+        self.paths = []
+        self.labels = []
+        for ci, cat in enumerate(categories):
+            d = os.path.join(root, cat, split)
+            if not os.path.isdir(d):
+                raise ValueError(f"category dir {d} not found")
+            for fn in sorted(os.listdir(d)):
+                if fn.endswith(".off"):
+                    self.paths.append(os.path.join(d, fn))
+                    self.labels.append(ci)
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, index):
+        from kaolin_tpu.io import off
+        mesh = off.import_mesh(self.paths[index])
+        return {"mesh": mesh,
+                "category": self.categories[self.labels[index]],
+                "label": self.labels[index]}

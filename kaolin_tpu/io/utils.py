@@ -1,0 +1,103 @@
+"""I/O helpers: error handlers and heterogeneous-mesh handlers.
+
+TPU-native analog of reference ``kaolin/io/utils.py`` (handlers :48-62,
+mesh_handler_naive_triangulate :62).
+"""
+
+import numpy as np
+
+__all__ = [
+    "NonHomogeneousMeshError",
+    "heterogeneous_mesh_handler_skip",
+    "heterogeneous_mesh_handler_naive_homogenize",
+    "mesh_handler_naive_triangulate",
+    "default_error_handler",
+    "skip_error_handler",
+    "ignore_error_handler",
+    "create_missing_materials_error_handler",
+]
+
+
+class NonHomogeneousMeshError(Exception):
+    """Faces have varying vertex counts and no handler was given."""
+
+
+def default_error_handler(error, **kwargs):
+    raise error
+
+
+def skip_error_handler(error, **kwargs):
+    pass
+
+
+def ignore_error_handler(error, **kwargs):
+    pass
+
+
+def create_missing_materials_error_handler(error, **kwargs):
+    """Returns a dummy material dict for missing materials."""
+    from kaolin_tpu.io.obj import MaterialNotFoundError
+    if isinstance(error, MaterialNotFoundError):
+        return {"material_name": kwargs.get("material_name", "missing")}
+    raise error
+
+
+def heterogeneous_mesh_handler_skip(*args, **kwargs):
+    """Skip heterogeneous meshes (returns None). Ref handler."""
+    return None
+
+
+def mesh_handler_naive_triangulate(vertices, face_vertex_counts, *features,
+                                   face_assignments=None):
+    """Triangulate a heterogeneous mesh by fanning each polygon
+    (v0, v_i, v_i+1). Ref ``io/utils.py:62``.
+
+    Args:
+        vertices: (V, 3) array.
+        face_vertex_counts: (F,) vertex count per face.
+        *features: flat per-face-vertex index/feature arrays to re-index.
+        face_assignments: optional dict name → (start, end) index pairs into
+            faces, remapped to the triangulated face list.
+
+    Returns:
+        (vertices, face_vertex_counts(all 3), *new_features[, face_assignments])
+    """
+    counts = np.asarray(face_vertex_counts)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    tri_of_face = []
+    new_features = [[] for _ in features]
+    old_to_new_start = np.zeros(counts.shape[0] + 1, dtype=np.int64)
+    num_tris = 0
+    for i, c in enumerate(counts):
+        old_to_new_start[i] = num_tris
+        start = offsets[i]
+        for k in range(1, c - 1):
+            tri_of_face.append(i)
+            for fi, feat in enumerate(features):
+                f = np.asarray(feat)
+                new_features[fi].extend([f[start], f[start + k], f[start + k + 1]])
+        num_tris += max(c - 2, 0)
+    old_to_new_start[-1] = num_tris
+    new_counts = np.full(num_tris, 3, dtype=np.int64)
+    outs = [np.asarray(vertices), new_counts]
+    outs.extend(np.asarray(nf) for nf in new_features)
+    if face_assignments is not None:
+        new_assign = {}
+        for k, v in face_assignments.items():
+            v = np.asarray(v)
+            if v.ndim == 1 and v.shape[0] == 2:  # (start, end) ranges
+                new_assign[k] = np.array([old_to_new_start[v[0]],
+                                          old_to_new_start[v[1]]])
+            else:
+                # list of face ids
+                ids = []
+                for fid in v:
+                    ids.extend(range(old_to_new_start[fid],
+                                     old_to_new_start[fid + 1]))
+                new_assign[k] = np.asarray(ids)
+        outs.append(new_assign)
+    return tuple(outs)
+
+
+# legacy alias matching older reference naming
+heterogeneous_mesh_handler_naive_homogenize = mesh_handler_naive_triangulate

@@ -1,0 +1,186 @@
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import kaolin_tpu.io as kio
+from kaolin_tpu.rep import SurfaceMesh
+
+from tests.reference_shim import import_reference_kaolin
+
+ref_kaolin = import_reference_kaolin()
+
+SAMPLES = "/root/reference/tests/samples"
+
+
+def test_obj_import_simple():
+    mesh = kio.obj.import_mesh(f"{SAMPLES}/simple_obj/model.obj")
+    assert mesh.vertices.shape[-1] == 3
+    assert mesh.faces.shape[-1] in (3, 4)
+    assert mesh.vertices.shape[0] > 0
+    tri = kio.obj.import_mesh(f"{SAMPLES}/simple_obj/model.obj",
+                              triangulate=True)
+    assert tri.faces.shape[-1] == 3
+
+
+def test_obj_import_parity_with_reference():
+    if ref_kaolin is None:
+        pytest.skip("reference unavailable")
+    path = f"{SAMPLES}/rocket.obj"
+    ours = kio.obj.import_mesh(path, with_normals=True, triangulate=True)
+    theirs = ref_kaolin.io.obj.import_mesh(path, with_normals=True,
+                                           triangulate=True)
+    np.testing.assert_allclose(ours.vertices, theirs.vertices.numpy(),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ours.faces),
+                                  theirs.faces.numpy())
+    if theirs.normals is not None:
+        np.testing.assert_allclose(ours.normals, theirs.normals.numpy(),
+                                   atol=1e-6)
+
+
+def test_obj_materials_parity():
+    if ref_kaolin is None:
+        pytest.skip("reference unavailable")
+    path = f"{SAMPLES}/colored_sphere.obj"
+    ours = kio.obj.import_mesh(path, with_materials=True, triangulate=True)
+    theirs = ref_kaolin.io.obj.import_mesh(path, with_materials=True,
+                                           triangulate=True)
+    assert len(ours.materials) == len(theirs.materials)
+    np.testing.assert_array_equal(np.asarray(ours.material_assignments),
+                                  theirs.material_assignments.numpy())
+
+
+def test_obj_heterogeneous_triangulate():
+    path = f"{SAMPLES}/simple_obj/model_heterogeneous.obj"
+    mesh = kio.obj.import_mesh(path, triangulate=True)
+    assert mesh.faces.shape[-1] == 3
+    if ref_kaolin is not None:
+        theirs = ref_kaolin.io.obj.import_mesh(path, triangulate=True)
+        np.testing.assert_array_equal(np.asarray(mesh.faces),
+                                      theirs.faces.numpy())
+
+
+def test_obj_roundtrip(tmp_path):
+    mesh = kio.obj.import_mesh(f"{SAMPLES}/simple_obj/model.obj")
+    out = str(tmp_path / "out.obj")
+    kio.obj.export_mesh(out, mesh=mesh)
+    back = kio.obj.import_mesh(out)
+    np.testing.assert_allclose(back.vertices, mesh.vertices, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(back.faces),
+                                  np.asarray(mesh.faces))
+
+
+def test_gltf_import():
+    mesh = kio.gltf.import_mesh(f"{SAMPLES}/rep/armchair.gltf")
+    assert mesh.vertices.shape[0] > 0
+    assert mesh.faces.shape[-1] == 3
+    if ref_kaolin is None:
+        return
+    theirs_obj = ref_kaolin.io.obj.import_mesh(
+        f"{SAMPLES}/rep/armchair.obj", triangulate=True)
+    # same geometry up to vertex dedup: compare bounding boxes + counts
+    np.testing.assert_allclose(
+        np.asarray(mesh.vertices).min(0), theirs_obj.vertices.numpy().min(0),
+        atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(mesh.vertices).max(0), theirs_obj.vertices.numpy().max(0),
+        atol=1e-3)
+
+
+def test_off_roundtrip(tmp_path):
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    f = np.array([[0, 1, 2], [0, 1, 3]])
+    p = str(tmp_path / "mesh.off")
+    kio.off.export_mesh(p, v, f)
+    mesh = kio.off.import_mesh(p)
+    np.testing.assert_allclose(mesh.vertices, v)
+    np.testing.assert_array_equal(np.asarray(mesh.faces), f)
+
+
+def test_ply_pointcloud_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    pts = rng.rand(50, 3).astype(np.float32)
+    colors = rng.rand(50, 3).astype(np.float32)
+    p = str(tmp_path / "cloud.ply")
+    kio.ply.export_pointcloud(p, pts, colors=colors)
+    back_pts, back_colors, _ = kio.ply.import_pointcloud(p)
+    np.testing.assert_allclose(back_pts, pts, atol=1e-6)
+    np.testing.assert_allclose(back_colors, colors, atol=1e-6)
+
+
+def test_ply_gaussians_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    n = 20
+    pos = rng.randn(n, 3).astype(np.float32)
+    opa = rng.randn(n).astype(np.float32)
+    scales = rng.randn(n, 3).astype(np.float32)
+    rots = rng.randn(n, 4).astype(np.float32)
+    sh = rng.randn(n, 4, 3).astype(np.float32)
+    p = str(tmp_path / "gs.ply")
+    kio.ply.export_gaussians(p, pos, opa, scales, rots, sh)
+    g = kio.ply.import_gaussians(p)
+    np.testing.assert_allclose(g["positions"], pos, atol=1e-6)
+    np.testing.assert_allclose(g["opacities"], opa, atol=1e-6)
+    np.testing.assert_allclose(g["scales"], scales, atol=1e-6)
+    np.testing.assert_allclose(g["rotations"], rots, atol=1e-6)
+    np.testing.assert_allclose(g["sh_coeffs"], sh, atol=1e-6)
+
+
+def test_usda_mesh_roundtrip(tmp_path):
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    f = np.array([[0, 1, 2], [0, 1, 3]])
+    p = str(tmp_path / "mesh.usda")
+    kio.usd.export_mesh(p, "/World/mesh", v, f)
+    mesh = kio.usd.import_mesh(p)
+    np.testing.assert_allclose(mesh.vertices, v, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(mesh.faces), f)
+
+
+def test_usda_import_reference_sample():
+    mesh = kio.usd.import_mesh("/root/reference/sample_data/meshes/amsterdam.usda")
+    assert mesh.vertices.shape[0] > 0
+    assert mesh.faces.shape[-1] >= 3
+
+
+def test_usda_timesamples(tmp_path):
+    p = str(tmp_path / "anim.usda")
+    stage = kio.usd.create_stage(p)
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    f = np.array([[0, 1, 2]])
+    stage.add_mesh("/World/m", v, f, time=0)
+    stage.add_mesh("/World/m", v + 1.0, time=1)
+    stage.save()
+    m0 = kio.usd.import_mesh(p, time=0)
+    m1 = kio.usd.import_mesh(p, time=1)
+    np.testing.assert_allclose(m0.vertices, v, atol=1e-6)
+    np.testing.assert_allclose(m1.vertices, v + 1.0, atol=1e-6)
+
+
+def test_import_mesh_dispatcher():
+    mesh = kio.import_mesh(f"{SAMPLES}/simple_obj/model.obj")
+    assert isinstance(mesh, SurfaceMesh)
+
+
+def test_cached_dataset(tmp_path):
+    calls = []
+
+    class Source:
+        def __len__(self):
+            return 3
+
+        def __getitem__(self, i):
+            return {"x": np.full((4,), i, dtype=np.float32)}
+
+    def preprocess(item):
+        calls.append(1)
+        return {"x": item["x"] * 2}
+
+    ds = kio.CachedDataset(Source(), preprocessing_transform=preprocess,
+                           cache_dir=str(tmp_path / "cache"))
+    a = ds[1]
+    b = ds[1]
+    np.testing.assert_allclose(a["x"], 2.0)
+    np.testing.assert_allclose(np.asarray(b["x"]), np.asarray(a["x"]))
+    assert len(calls) == 1  # second access was cached
