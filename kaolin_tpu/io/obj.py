@@ -79,20 +79,31 @@ def load_mtl(mtl_path, error_handler=None):
 
 
 def raw_material_to_pbr(material):
-    """Raw MTL dict → PBRMaterial (Kd→diffuse, Ks→specular). Ref :431."""
+    """Raw MTL dict → PBRMaterial. Ref :431 (metallic workflow by default,
+    matching the reference's conversion exactly)."""
     from kaolin_tpu.render.materials import PBRMaterial
-    kwargs = {"material_name": material.get("material_name", "")}
-    if "Kd" in material:
-        kwargs["diffuse_color"] = material["Kd"]
-    if "map_Kd" in material:
-        kwargs["diffuse_texture"] = material["map_Kd"]
-        kwargs["diffuse_colorspace"] = "srgb"
-    if "Ks" in material:
-        kwargs["specular_color"] = material["Ks"]
-        kwargs["is_specular_workflow"] = True
-    if "map_Ks" in material:
-        kwargs["specular_texture"] = material["map_Ks"]
-        kwargs["is_specular_workflow"] = True
+    supported_maps = {
+        "map_kd": "diffuse_texture",
+        "map_ks": "specular_texture",
+        "bump": "normals_texture",
+        "map_bump": "normals_texture",
+        "disp": "displacement_texture",
+        "map_d": "opacity_texture",
+        "map_refl": "metallic_texture",
+        "map_ns": "roughness_texture",
+    }
+    supported_values = {"kd": "diffuse_color", "ks": "specular_color"}
+    kwargs = {"is_specular_workflow": False}
+    for k, v in material.items():
+        if k == "material_name":
+            kwargs[k] = v
+        elif k.lower() in supported_maps:
+            name = supported_maps[k.lower()]
+            kwargs[name] = v  # textures already in [0, 1] CHW
+            if name == "normals_texture":
+                kwargs[name] = kwargs[name] * 2 - 1.0
+        elif k.lower() in supported_values:
+            kwargs[supported_values[k.lower()]] = v
     return PBRMaterial(**kwargs)
 
 

@@ -121,32 +121,84 @@ def texture_sample_materials(face_idx, im_base_normals, materials=None,
     albedo = jnp.zeros((b, height, width, 3))
     spec_albedo = jnp.zeros((b, height, width, 3))
     im_roughness = jnp.full((b, height, width, 1), 0.5)
+    im_world_normals = (im_base_normals if im_base_normals is not None
+                        else jnp.zeros((b, height, width, 3)))
+
+    im_bitangents = None
+    if im_tangents is not None and im_base_normals is not None:
+        bt = jnp.cross(im_tangents, im_base_normals)
+        im_bitangents = bt / jnp.clip(
+            jnp.linalg.norm(bt, axis=-1, keepdims=True), 1e-12, None)
+
+    # texture_mapping's ogl-y-up convention handles the v flip internally;
+    # empirically matches the reference goldens (net texel row = (1-v)*H)
+    flipped_uv = uv_map
 
     for i, mat in enumerate(materials):
         mask = (im_material_idx == i)[..., None]
 
-        def sample(tex, value, default, nch):
-            if tex is not None and uv_map is not None:
-                return texture_mapping(uv_map, tex[None].astype(jnp.float32),
-                                       mode="bilinear")
-            if value is not None:
-                v = jnp.asarray(value).reshape(-1)
-                if v.shape[0] == 1 and nch == 3:
-                    v = jnp.broadcast_to(v, (3,))
-                return jnp.broadcast_to(v, (b, height, width, nch))
-            return jnp.full((b, height, width, nch), default)
+        def tex_sample(tex):
+            if tex is None or flipped_uv is None:
+                return None
+            return texture_mapping(flipped_uv, tex[None].astype(jnp.float32),
+                                   mode="bilinear")
 
-        albedo = jnp.where(mask, sample(mat.diffuse_texture,
-                                        mat.diffuse_color, 0.0, 3), albedo)
-        spec_albedo = jnp.where(mask, sample(mat.specular_texture,
-                                             mat.specular_color, 0.04, 3),
-                                spec_albedo)
-        im_roughness = jnp.where(mask, sample(mat.roughness_texture,
-                                              mat.roughness_value, 0.5, 1),
-                                 im_roughness)
+        mapped_normal = tex_sample(mat.normals_texture)
+        mapped_albedo = tex_sample(mat.diffuse_texture)
+        mapped_spec = tex_sample(mat.specular_texture)
+        mapped_metallic = tex_sample(mat.metallic_texture)
+        mapped_roughness = tex_sample(mat.roughness_texture)
 
-    im_world_normals = (im_base_normals if im_base_normals is not None
-                        else jnp.zeros((b, height, width, 3)))
+        # shading normals with normal-map perturbation (:324-333)
+        if (mapped_normal is not None and im_tangents is not None
+                and im_bitangents is not None):
+            sn = (im_tangents * mapped_normal[..., :1]
+                  - im_bitangents * mapped_normal[..., 1:2]
+                  + im_base_normals * mapped_normal[..., 2:3])
+            sn = sn / jnp.clip(jnp.linalg.norm(sn, axis=-1, keepdims=True),
+                               1e-12, None)
+            im_world_normals = jnp.where(mask, sn, im_world_normals)
+
+        # albedo
+        cur_albedo = None
+        if mapped_albedo is not None:
+            cur_albedo = mapped_albedo[..., :3]
+        elif mat.diffuse_color is not None:
+            cur_albedo = jnp.broadcast_to(mat.diffuse_color,
+                                          (b, height, width, 3))
+        if cur_albedo is not None:
+            albedo = jnp.where(mask, cur_albedo, albedo)
+
+        # specular vs metallic workflow (:341-351)
+        if mat.is_specular_workflow:
+            cur_spec = None
+            if mapped_spec is not None:
+                cur_spec = mapped_spec
+            elif mat.specular_color is not None:
+                cur_spec = jnp.broadcast_to(mat.specular_color,
+                                            (b, height, width, 3))
+            if cur_spec is not None:
+                spec_albedo = jnp.where(mask, cur_spec, spec_albedo)
+        else:
+            metallic = (mapped_metallic if mapped_metallic is not None
+                        else mat.metallic_value)
+            if metallic is not None:
+                m = jnp.asarray(metallic)
+                spec_albedo = jnp.where(
+                    mask, (1.0 - m) * 0.04 + albedo * m, spec_albedo)
+                albedo = jnp.where(mask, albedo * (1.0 - m), albedo)
+
+        min_roughness = 1e-3
+        cur_rough = None
+        if mapped_roughness is not None:
+            cur_rough = jnp.clip(mapped_roughness, min_roughness, None)
+        elif mat.roughness_value is not None:
+            cur_rough = jnp.broadcast_to(
+                jnp.clip(mat.roughness_value, min_roughness, None),
+                (b, height, width, 1))
+        if cur_rough is not None:
+            im_roughness = jnp.where(mask, cur_rough, im_roughness)
+
     return albedo, spec_albedo, im_world_normals, im_roughness
 
 

@@ -124,16 +124,22 @@ class SurfaceMesh:
         return name in self._attrs or (name in _MISC_ATTRS
                                        and getattr(self, name) is not None)
 
-    def has_or_can_compute_attribute(self, name):
+    def has_or_can_compute_attribute(self, name, _visited=None):
         """Ref :713."""
-        return self.has_attribute(name) or self.probably_can_compute_attribute(name)
+        return self.has_attribute(name) or \
+            self.probably_can_compute_attribute(name, _visited)
 
-    def probably_can_compute_attribute(self, name):
-        """Ref :728."""
+    def probably_can_compute_attribute(self, name, _visited=None):
+        """Ref :728. ``_visited`` breaks dependency cycles
+        (face_normals ↔ vertex_normals)."""
         if name not in _COMPUTABLE:
             return False
-        return any(all(self.has_or_can_compute_attribute(r) for r in req
-                       if r != name)
+        visited = set() if _visited is None else _visited
+        if name in visited:
+            return False
+        visited = visited | {name}
+        return any(all(self.has_or_can_compute_attribute(r, visited)
+                       for r in req if r != name)
                    for req in _COMPUTABLE[name])
 
     def get_attributes(self, only_tensors=False):
