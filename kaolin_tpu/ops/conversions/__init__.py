@@ -1,4 +1,5 @@
 from kaolin_tpu.ops.conversions.flexicubes import FlexiCubes  # noqa: F401
+from kaolin_tpu.ops.conversions.gaussians import gs_to_voxelgrid  # noqa: F401
 from kaolin_tpu.ops.conversions.pointcloud import (  # noqa: F401
     pointclouds_to_voxelgrids,
     unbatched_pointcloud_to_spc,
