@@ -25,3 +25,9 @@ from kaolin_tpu.ops.spc.uint8 import (  # noqa: F401
     uint8_bits_sum,
     uint8_to_bits,
 )
+from kaolin_tpu.ops.spc.convolution import (  # noqa: F401
+    Conv3d,
+    ConvTranspose3d,
+    conv3d,
+    conv_transpose3d,
+)

@@ -17,3 +17,21 @@ from kaolin_tpu.render.camera.raygen import (  # noqa: F401
     generate_pinhole_rays,
     generate_rays,
 )
+from kaolin_tpu.render.camera import legacy  # noqa: F401
+from kaolin_tpu.render.camera.gsplats import (  # noqa: F401
+    gsplat_inria_camera_to_kaolin,
+    gsplat_nerfstudio_camera_to_kaolin,
+    kaolin_camera_to_gsplat_inria,
+    kaolin_camera_to_gsplat_nerfstudio,
+)
+from kaolin_tpu.render.camera.legacy import (  # noqa: F401
+    generate_perspective_projection,
+    generate_rotate_translate_matrices,
+    generate_transformation_matrix,
+    perspective_camera,
+    rotate_translate_points,
+)
+from kaolin_tpu.render.camera.trajectory import (  # noqa: F401
+    camera_path_generator,
+    loop_camera_path_generator,
+)

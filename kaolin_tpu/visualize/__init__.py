@@ -1,0 +1,1 @@
+from kaolin_tpu.visualize.timelapse import Timelapse, TimelapseParser  # noqa: F401
