@@ -235,6 +235,27 @@ class SimplicitsObject(PhysicsPoints):
         skin = SkinningFn(params=params, bb_min=bb_min, bb_max=bb_max)
         return cls(pts, yms, prs, rhos, appx_vol, skin)
 
+    @classmethod
+    def create_with_rkpm(cls, physics_points: PhysicsPoints, num_handles,
+                         num_nodes, num_points=None, radius_scale=1.0,
+                         radius_init_kNN=2, radius_min="3x", dtype=None):
+        """Skinning weights from RKPM generalized eigenmodes (NVIDIA
+        "Freeform"; ref :796). Deterministic — no training loop."""
+        import numpy as np
+        from kaolin_tpu.physics.simplicits.rkpm import SimplicitsRKPM
+        pts = physics_points.pts
+        bb_min = np.asarray(jnp.min(pts, axis=0))
+        bb_max = np.asarray(jnp.max(pts, axis=0))
+        skin = SimplicitsRKPM(num_handles=num_handles, num_nodes=num_nodes,
+                              radius_scale=radius_scale,
+                              radius_init_kNN=radius_init_kNN,
+                              radius_min=radius_min, num_points=num_points,
+                              bb_min=bb_min, bb_max=bb_max)
+        skin.init(pts, physics_points.yms, physics_points.prs,
+                  physics_points.rhos, physics_points.appx_vol)
+        return cls(pts, physics_points.yms, physics_points.prs,
+                   physics_points.rhos, physics_points.appx_vol, skin)
+
     # -- ops --
     def subsample(self, num_pts=None, sample_indices=None):
         """Ref :873."""

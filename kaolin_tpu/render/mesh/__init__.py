@@ -1,3 +1,4 @@
+from kaolin_tpu.render.mesh.deftet import deftet_sparse_render  # noqa: F401
 from kaolin_tpu.render.mesh.dibr import dibr_rasterization, dibr_soft_mask  # noqa: F401
 from kaolin_tpu.render.mesh.rasterization import rasterize  # noqa: F401
 from kaolin_tpu.render.mesh.utils import (  # noqa: F401
