@@ -1,13 +1,21 @@
-"""Benchmark driver: Simplicits sim steps/sec on the available accelerator.
+"""Benchmark driver: the BASELINE.json north-star metrics on the available
+accelerator.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "components": {...}}``
 
-Config mirrors the reference's physics benchmark defaults
-(``tests/benchmarks/README.md``: ~1000 samples/object in a unit box, dt=0.01,
-5 Newton steps, 20 line-search steps, direct solve) on the cube-drop scene of
-the FEM regression test. The reference repo publishes no numbers
-(BASELINE.md); ``vs_baseline`` is measured against A100_SIM_STEPS_PER_SEC
-below — a provisional estimate to be replaced by a measured A100 run.
+Two components (BASELINE.md targets):
+  1. Simplicits sim steps/sec — config mirrors the reference's physics
+     benchmark defaults (``tests/benchmarks/README.md``: ~1000 samples/object
+     in a unit box, dt=0.01, 5 Newton steps, 20 line-search steps, direct
+     solve) on the cube-drop scene of the FEM regression test.
+  2. DIB-R fwd+bwd frames/sec @512² — pose+texture optimization iteration
+     (gradients w.r.t. vertex image coords AND per-face features) on a
+     ~5000-face sphere, the dibr tutorial workload.
+
+The reference repo publishes no numbers (BASELINE.md); ``vs_baseline`` is the
+geometric mean of per-component ratios against the A100_* provisional
+estimates below, to be replaced by measured A100 runs.
 """
 
 import json
@@ -16,6 +24,7 @@ import time
 import numpy as np
 
 A100_SIM_STEPS_PER_SEC = 30.0  # provisional; no published reference numbers
+A100_DIBR_FWDBWD_FPS = 10.0    # provisional; no published reference numbers
 
 
 def bench_simplicits(num_qp=1000, num_handles=33, num_steps=50, dt=0.01):
@@ -66,13 +75,78 @@ def bench_simplicits(num_qp=1000, num_handles=33, num_steps=50, dt=0.01):
     return num_steps / elapsed
 
 
+def _uv_sphere(n_lat=40, n_lon=64):
+    lat = np.linspace(0.1, np.pi - 0.1, n_lat)
+    lon = np.linspace(0, 2 * np.pi, n_lon, endpoint=False)
+    th, ph = np.meshgrid(lat, lon, indexing="ij")
+    v = np.stack([np.sin(th) * np.cos(ph), np.cos(th),
+                  np.sin(th) * np.sin(ph)], -1).reshape(-1, 3)
+    faces = []
+    for i in range(n_lat - 1):
+        for j in range(n_lon):
+            a = i * n_lon + j
+            b = i * n_lon + (j + 1) % n_lon
+            c = (i + 1) * n_lon + j
+            d = (i + 1) * n_lon + (j + 1) % n_lon
+            faces.append([a, b, c])
+            faces.append([b, d, c])
+    return v.astype(np.float32), np.asarray(faces, np.int32)
+
+
+def bench_dibr(height=512, width=512, num_iters=20):
+    """One pose+texture optimization iteration: dibr_rasterization fwd+bwd."""
+    import jax
+    import jax.numpy as jnp
+
+    from kaolin_tpu.render.mesh.dibr import dibr_rasterization
+
+    v, f = _uv_sphere()
+    num_faces = f.shape[0]
+    cam = v + np.array([0, 0, -3.0], np.float32)
+    z = cam[:, 2]
+    img_xy = cam[:, :2] / (-z[:, None]) * 2.0
+
+    fv_z = jnp.asarray(z[f])[None]
+    fv_img = jnp.asarray(img_xy[f])[None]
+    feat = jnp.asarray(
+        np.random.RandomState(0).rand(1, num_faces, 3, 3).astype(np.float32))
+    nz = jnp.ones((1, num_faces), jnp.float32)
+
+    @jax.jit
+    def step(fvi, feats):
+        def loss(fvi, feats):
+            img, sm, _ = dibr_rasterization(height, width, fv_z, fvi, feats,
+                                            nz)
+            return jnp.sum(img ** 2) + jnp.sum(sm ** 2)
+        return jax.value_and_grad(loss, argnums=(0, 1))(fvi, feats)
+
+    out = step(fv_img, feat)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(num_iters):
+        out = step(fv_img, feat)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+    return num_iters / elapsed
+
+
 def main():
     steps_per_sec = bench_simplicits()
+    dibr_fps = bench_dibr()
+    r_sim = steps_per_sec / A100_SIM_STEPS_PER_SEC
+    r_dibr = dibr_fps / A100_DIBR_FWDBWD_FPS
+    geomean = float(np.sqrt(r_sim * r_dibr))
     print(json.dumps({
-        "metric": "simplicits_sim_steps_per_sec",
-        "value": round(steps_per_sec, 2),
-        "unit": "steps/s",
-        "vs_baseline": round(steps_per_sec / A100_SIM_STEPS_PER_SEC, 3),
+        "metric": "northstar_speedup_vs_a100_geomean",
+        "value": round(geomean, 3),
+        "unit": "x",
+        "vs_baseline": round(geomean, 3),
+        "components": {
+            "simplicits_sim_steps_per_sec": round(steps_per_sec, 2),
+            "dibr_fwdbwd_fps_512": round(dibr_fps, 2),
+            "simplicits_vs_a100": round(r_sim, 3),
+            "dibr_vs_a100": round(r_dibr, 3),
+        },
     }))
 
 

@@ -69,6 +69,7 @@ def _soft_mask_unbatched(face_vertices_image, selected_face_idx, sigmainv,
     bmin = jnp.min(fvi_t, axis=2) - boxlen * multiplier  # (NT, T, 2)
     bmax = jnp.max(fvi_t, axis=2) + boxlen * multiplier
 
+    @jax.checkpoint  # remat: O(H·W·T) tile intermediates would dominate HBM
     def body(allprob, inp):
         fvi_i, vm_i, bmin_i, bmax_i = inp
         in_box = ((px[..., None] >= bmin_i[None, None, :, 0])
@@ -89,17 +90,80 @@ def _soft_mask_unbatched(face_vertices_image, selected_face_idx, sigmainv,
     return jnp.where(selected_face_idx >= 0, 1.0, soft)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("height", "width", "tile_px", "cap"))
+def _soft_mask_binned(face_vertices_image, selected_face_idx, sigmainv,
+                      boxlen, multiplier, height, width, tile_px=32, cap=512):
+    """Tile-binned soft mask: each image tile only evaluates faces whose
+    boxlen-enlarged bbox overlaps it. Same values as _soft_mask_unbatched
+    provided no tile overflows ``cap`` candidates."""
+    from kaolin_tpu.render.mesh.rasterization import (_pixel_coords,
+                                                      bin_faces_to_tiles)
+    dtype = face_vertices_image.dtype
+    f = face_vertices_image.shape[0]
+    ty = height // tile_px
+    tx = width // tile_px
+    margin = boxlen * multiplier
+    tile_faces, _ = bin_faces_to_tiles(
+        jax.lax.stop_gradient(face_vertices_image),
+        jnp.ones((f,), dtype=bool), height, width, multiplier, tile_px, cap,
+        margin=margin)
+    safe = jnp.clip(tile_faces, 0, None)
+    fvi_t = face_vertices_image[safe]       # (T, cap, 3, 2) — differentiable
+    alive = tile_faces >= 0
+
+    bmin = jnp.min(fvi_t, axis=2) - margin  # (T, cap, 2)
+    bmax = jnp.max(fvi_t, axis=2) + margin
+
+    px, py = _pixel_coords(height, width, multiplier, dtype)
+    px_t = px.reshape(ty, tile_px, tx, tile_px).transpose(0, 2, 1, 3) \
+        .reshape(ty * tx, tile_px * tile_px)
+    py_t = py.reshape(ty, tile_px, tx, tile_px).transpose(0, 2, 1, 3) \
+        .reshape(ty * tx, tile_px * tile_px)
+
+    @jax.checkpoint  # remat (P, cap) intermediates in the VJP
+    def per_tile(inp):
+        pxi, pyi, fvi_i, alive_i, bmin_i, bmax_i = inp
+        # (P, cap)
+        in_box = ((pxi[:, None] >= bmin_i[None, :, 0])
+                  & (pxi[:, None] < bmax_i[None, :, 0])
+                  & (pyi[:, None] >= bmin_i[None, :, 1])
+                  & (pyi[:, None] < bmax_i[None, :, 1])
+                  & alive_i[None])
+        d2 = _edge_vertex_sqdist(pxi[:, None], pyi[:, None], fvi_i[None],
+                                 multiplier)
+        prob = jnp.where(in_box,
+                         jnp.exp(-sigmainv * d2 / (multiplier * multiplier)),
+                         0.0)
+        return jnp.prod(1.0 - prob, axis=-1)
+
+    allprob = jax.lax.map(per_tile, (px_t, py_t, fvi_t, alive, bmin, bmax),
+                          batch_size=min(ty * tx, 256))
+    allprob = allprob.reshape(ty, tx, tile_px, tile_px) \
+        .transpose(0, 2, 1, 3).reshape(height, width)
+    soft = 1.0 - allprob
+    return jnp.where(selected_face_idx >= 0, 1.0, soft)
+
+
 def dibr_soft_mask(face_vertices_image, selected_face_idx, sigmainv=7000,
-                   boxlen=0.02, knum=30, multiplier=1000.0):
+                   boxlen=0.02, knum=30, multiplier=1000.0, tile_px=32,
+                   tile_cap=None):
     """Soft foreground mask for silhouette losses → (B, H, W). Ref :75.
     Differentiable w.r.t. face_vertices_image."""
     del knum  # all faces participate (see module docstring)
     height, width = selected_face_idx.shape[1:3]
+    f = face_vertices_image.shape[1]
     scaled = face_vertices_image * multiplier
-    return jax.vmap(
-        lambda v, s: _soft_mask_unbatched(v, s, sigmainv, boxlen, multiplier,
-                                          height, width)
-    )(scaled, selected_face_idx)
+    if (f >= 1024 and height % tile_px == 0 and width % tile_px == 0
+            and (height // tile_px) * (width // tile_px) >= 64):
+        cap = min(f, 512) if tile_cap is None else min(f, tile_cap)
+        fn = lambda v, s: _soft_mask_binned(v, s, sigmainv, boxlen,
+                                            multiplier, height, width,
+                                            tile_px=tile_px, cap=cap)
+    else:
+        fn = lambda v, s: _soft_mask_unbatched(v, s, sigmainv, boxlen,
+                                               multiplier, height, width)
+    return jax.vmap(fn)(scaled, selected_face_idx)
 
 
 def dibr_rasterization(height, width, face_vertices_z, face_vertices_image,

@@ -54,7 +54,8 @@ def _barycentrics(px, py, verts, eps):
 @functools.partial(jax.jit, static_argnames=("height", "width", "tile"))
 def _rasterize_search(height, width, face_vertices_z, face_vertices_image,
                       valid_mask, multiplier, eps, tile=128):
-    """Unbatched winner search → (face_idx (H, W) int32). Non-differentiable."""
+    """Unbatched winner search → (face_idx (H, W) int32). Non-differentiable.
+    Brute-force face-tile scan (used for small face counts)."""
     f = face_vertices_z.shape[0]
     num_tiles = -(-f // tile)
     pad = num_tiles * tile - f
@@ -90,9 +91,107 @@ def _rasterize_search(height, width, face_vertices_z, face_vertices_image,
     return jnp.where(jnp.isfinite(best_z), best_i, -1)
 
 
+def bin_faces_to_tiles(face_vertices_image, valid_mask, height, width,
+                       multiplier, tile_px, cap, margin=0.0):
+    """Bin faces to image tiles by bbox overlap (the TPU equivalent of the
+    CUDA kernel's shared-memory bbox culling, :95-117).
+
+    Returns (tile_faces (num_tiles, cap) int32 face ids padded with -1,
+    overflow flag). ``num_tiles = (H/tile_px) * (W/tile_px)``, row-major.
+    """
+    f = face_vertices_image.shape[0]
+    ty = height // tile_px
+    tx = width // tile_px
+    fmin = jnp.min(face_vertices_image, axis=1) - margin  # (F, 2) x,y
+    fmax = jnp.max(face_vertices_image, axis=1) + margin
+
+    # tile rects in kernel pixel coords: x0 spans [mult/W*(2c+1-W)] for the
+    # c-th column; tile column j covers x in [x_left(j), x_right(j)]
+    def tile_edges(n_tiles, size, total):
+        # pixel centers at index i: mult/total*(2i+1-total); tile j covers
+        # pixel indices [j*size, (j+1)*size - 1]
+        i0 = jnp.arange(n_tiles) * size
+        i1 = i0 + size - 1
+        lo = multiplier / total * (2 * i0 + 1 - total)
+        hi = multiplier / total * (2 * i1 + 1 - total)
+        return lo, hi
+
+    x_lo, x_hi = tile_edges(tx, tile_px, width)
+    # y decreases with row index (kernel y = mult/H*(H-2r-1))
+    r0 = jnp.arange(ty) * tile_px
+    r1 = r0 + tile_px - 1
+    y_hi = multiplier / height * (height - 2 * r0 - 1)
+    y_lo = multiplier / height * (height - 2 * r1 - 1)
+
+    # overlap: face bbox ∩ tile rect non-empty (with the kernel's half-open
+    # x >= xmin, x < xmax convention approximated by closed intervals)
+    ox = (fmin[None, :, 0] <= x_hi[:, None]) & (fmax[None, :, 0] >= x_lo[:, None])
+    oy = (fmin[None, :, 1] <= y_hi[:, None]) & (fmax[None, :, 1] >= y_lo[:, None])
+    # (ty, tx, F)
+    overlap = (oy[:, None, :] & ox[None, :, :]) & valid_mask[None, None]
+    overlap = overlap.reshape(ty * tx, f)
+
+    # compact set bits per row via top_k (much faster than vmapped nonzero):
+    # keys = f - id for overlapping faces, 0 otherwise; top-cap keys descend
+    # → face ids ascend (index order), fill → -1
+    keys = jnp.where(overlap, f - jnp.arange(f, dtype=jnp.int32)[None], 0)
+    topk, _ = jax.lax.top_k(keys, min(cap, f))
+    tile_faces = jnp.where(topk > 0, f - topk, -1).astype(jnp.int32)
+    if cap > f:
+        tile_faces = jnp.pad(tile_faces, ((0, 0), (0, cap - f)),
+                             constant_values=-1)
+    overflow = jnp.sum(overlap, axis=1) > cap
+    return tile_faces, overflow
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("height", "width", "tile_px", "cap"))
+def _rasterize_search_binned(height, width, face_vertices_z,
+                             face_vertices_image, valid_mask, multiplier, eps,
+                             tile_px=32, cap=512):
+    """Tile-binned winner search: each image tile tests only faces whose
+    bbox overlaps it — the XLA analog of the CUDA kernel's binning."""
+    f = face_vertices_z.shape[0]
+    ty = height // tile_px
+    tx = width // tile_px
+    tile_faces, _ = bin_faces_to_tiles(face_vertices_image, valid_mask,
+                                       height, width, multiplier, tile_px, cap)
+    safe = jnp.clip(tile_faces, 0, None)
+    fvz_t = face_vertices_z[safe]           # (T, cap, 3)
+    fvi_t = face_vertices_image[safe]       # (T, cap, 3, 2)
+    alive = tile_faces >= 0                 # (T, cap)
+
+    px, py = _pixel_coords(height, width, multiplier, face_vertices_z.dtype)
+    # (ty, tx, tile_px, tile_px)
+    px_t = px.reshape(ty, tile_px, tx, tile_px).transpose(0, 2, 1, 3) \
+        .reshape(ty * tx, tile_px * tile_px)
+    py_t = py.reshape(ty, tile_px, tx, tile_px).transpose(0, 2, 1, 3) \
+        .reshape(ty * tx, tile_px * tile_px)
+
+    def per_tile(inp):
+        pxi, pyi, fvz_i, fvi_i, alive_i, ids_i = inp
+        # (P, cap)
+        w0, w1, w2 = _barycentrics(pxi[:, None], pyi[:, None], fvi_i[None],
+                                   eps)
+        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+        z = (w0 * fvz_i[None, :, 0] + w1 * fvz_i[None, :, 1]
+             + w2 * fvz_i[None, :, 2])
+        z = jnp.where(inside & alive_i[None], z, -jnp.inf)
+        best = jnp.argmax(z, axis=1)
+        hit = jnp.isfinite(jnp.max(z, axis=1))
+        return jnp.where(hit, ids_i[best], -1).astype(jnp.int32)
+
+    # lax.map bounds live (P, cap) intermediates to batch_size tiles at a time
+    out = jax.lax.map(per_tile, (px_t, py_t, fvz_t, fvi_t, alive, safe),
+                      batch_size=min(ty * tx, 256))
+    out = out.reshape(ty, tx, tile_px, tile_px).transpose(0, 2, 1, 3) \
+        .reshape(height, width)
+    return out
+
+
 def rasterize(height, width, face_vertices_z, face_vertices_image,
               face_features, valid_faces=None, multiplier=None, eps=None,
-              backend=None):
+              backend=None, tile_px=32, tile_cap=None):
     """Differentiable rasterization to feature images.
 
     Args:
@@ -103,7 +202,15 @@ def rasterize(height, width, face_vertices_z, face_vertices_image,
         valid_faces: optional (B, F) bool.
         multiplier: coordinate scale for numerics (default 1000).
         eps: barycentric normalization epsilon (default 1e-8).
-        backend: accepted for API parity (single XLA backend here).
+        backend: None (auto), "brute" (face-tile scan over ALL faces — exact
+            for any face size/count), or "binned" (image-tile bbox binning
+            with per-tile face capacity ``tile_cap`` — the XLA analog of the
+            CUDA kernel's per-pixel bbox early-out; auto-selected for large
+            face counts).
+        tile_px: image tile size for the binned backend.
+        tile_cap: max faces per image tile for the binned backend
+            (default min(F, 1024)). Tiles overlapped by more candidate faces
+            than this drop the excess (raise it for extreme face density).
 
     Returns:
         (image_features (B, H, W, D) [or list], face_idx (B, H, W) int32,
@@ -125,12 +232,26 @@ def rasterize(height, width, face_vertices_z, face_vertices_image,
         valid_mask = valid_faces.astype(bool)
 
     scaled = face_vertices_image * multiplier
-    face_idx = jax.vmap(
-        lambda z, v, m: _rasterize_search(height, width, z, v, m,
-                                          multiplier, eps)
-    )(jax.lax.stop_gradient(face_vertices_z),
-      jax.lax.stop_gradient(scaled),
-      valid_mask)
+    if backend == "binned" and (height % tile_px or width % tile_px):
+        raise ValueError(
+            f"backend='binned' needs height/width divisible by tile_px="
+            f"{tile_px}, got {height}x{width}")
+    use_binned = (backend == "binned"
+                  or (backend is None and f >= 1024
+                      and height % tile_px == 0 and width % tile_px == 0
+                      and (height // tile_px) * (width // tile_px) >= 64))
+    if use_binned:
+        cap = min(f, 512) if tile_cap is None else min(f, tile_cap)
+        search = lambda z, v, m: _rasterize_search_binned(
+            height, width, z, v, m, multiplier, eps,
+            tile_px=tile_px, cap=cap)
+    else:
+        search = lambda z, v, m: _rasterize_search(height, width, z, v, m,
+                                                   multiplier, eps)
+    face_idx = jax.vmap(search)(
+        jax.lax.stop_gradient(face_vertices_z),
+        jax.lax.stop_gradient(scaled),
+        valid_mask)
 
     # differentiable re-computation at winners
     safe_idx = jnp.clip(face_idx, 0, None)

@@ -144,3 +144,67 @@ def test_inverse_rendering_pose_step():
     fvi2 = fvi - lr * g / (jnp.linalg.norm(g) + 1e-8)
     l1 = loss(fvi2)
     assert float(l1) < float(l0), (float(l0), float(l1))
+
+
+def _uv_sphere_faces(n_lat=24, n_lon=48):
+    """UV-sphere projected to image space → (fvz (1,F,3), fvi (1,F,3,2))."""
+    lat = np.linspace(0.1, np.pi - 0.1, n_lat)
+    lon = np.linspace(0, 2 * np.pi, n_lon, endpoint=False)
+    th, ph = np.meshgrid(lat, lon, indexing="ij")
+    v = np.stack([np.sin(th) * np.cos(ph), np.cos(th),
+                  np.sin(th) * np.sin(ph)], -1).reshape(-1, 3)
+    faces = []
+    for i in range(n_lat - 1):
+        for j in range(n_lon):
+            a = i * n_lon + j
+            b = i * n_lon + (j + 1) % n_lon
+            c = (i + 1) * n_lon + j
+            d = (i + 1) * n_lon + (j + 1) % n_lon
+            faces.append([a, b, c])
+            faces.append([b, d, c])
+    f = np.asarray(faces, np.int32)
+    cam = v.astype(np.float32) + np.array([0, 0, -3.0], np.float32)
+    z = cam[:, 2]
+    xy = cam[:, :2] / (-z[:, None]) * 2.0
+    return jnp.asarray(z[f])[None], jnp.asarray(xy[f])[None]
+
+
+def test_binned_backend_matches_brute():
+    """Tile-binned rasterization (auto for F>=1024) == brute-force scan."""
+    fvz, fvi = _uv_sphere_faces()
+    F = fvz.shape[1]
+    assert F >= 1024
+    rng = np.random.RandomState(0)
+    feat = jnp.asarray(rng.rand(1, F, 3, 4).astype(np.float32))
+    img_b, idx_b = rasterize(256, 256, fvz, fvi, feat, backend="brute")
+    img_t, idx_t = rasterize(256, 256, fvz, fvi, feat, backend="binned")
+    assert np.array_equal(np.asarray(idx_b), np.asarray(idx_t))
+    np.testing.assert_allclose(np.asarray(img_b), np.asarray(img_t),
+                               atol=1e-6)
+
+
+def test_binned_soft_mask_matches_brute():
+    from kaolin_tpu.render.mesh.dibr import (_soft_mask_binned,
+                                             _soft_mask_unbatched)
+    fvz, fvi = _uv_sphere_faces()
+    _, idx = rasterize(256, 256, fvz, fvi,
+                       jnp.zeros(fvz.shape + (1,)), backend="brute")
+    scaled = fvi[0] * 1000.0
+    sm_u = _soft_mask_unbatched(scaled, idx[0], 7000.0, 0.02, 1000.0,
+                                256, 256)
+    sm_b = _soft_mask_binned(scaled, idx[0], 7000.0, 0.02, 1000.0, 256, 256)
+    np.testing.assert_allclose(np.asarray(sm_u), np.asarray(sm_b), atol=1e-5)
+
+    def loss_u(v):
+        return jnp.sum(_soft_mask_unbatched(
+            v * 1000.0, idx[0], 7000.0, 0.02, 1000.0, 256, 256) ** 2)
+
+    def loss_b(v):
+        return jnp.sum(_soft_mask_binned(
+            v * 1000.0, idx[0], 7000.0, 0.02, 1000.0, 256, 256) ** 2)
+
+    g_u = jax.grad(loss_u)(fvi[0])
+    g_b = jax.grad(loss_b)(fvi[0])
+    scale = np.abs(np.asarray(g_u)).max() + 1e-8
+    np.testing.assert_allclose(np.asarray(g_b) / scale,
+                               np.asarray(g_u) / scale, atol=1e-4)
