@@ -43,14 +43,36 @@ def test_gs_to_voxelgrid_shell():
 
 def test_sample_points_in_volume_fills_interior():
     xyz, scales, rots, opac = _sphere_gaussians()
-    pts = sample_points_in_volume(xyz, scales, rots, opac, octree_level=5,
-                                  num_samples=2000,
+    # floodfill backend (fast path)
+    pts = sample_points_in_volume(xyz, scales, rots, opac, octree_level=6,
+                                  num_samples=2000, method="floodfill",
                                   clip_samples_to_input_bbox=False)
     p = np.asarray(pts)
     r = np.linalg.norm(p, axis=1)
     # interior (including center region) is filled
     assert (r < 0.25).mean() > 0.02
     assert r.max() < 0.75
+
+
+def test_sample_points_in_volume_carve():
+    # the reference pipeline: multi-view raytrace + Bayesian-fusion carving.
+    # A reduced viewpoint set keeps the CPU test fast.
+    xyz, scales, rots, opac = _sphere_gaussians()
+    d = 4.0
+    views = np.array([
+        [d, 0, 0.3], [-d, 0, 0.3], [0, d, 0.3], [0, -d, 0.3],
+        [0.3, 0.3, d], [0.3, 0.3, -d],
+        [2.3, 2.3, 2.3], [-2.3, -2.3, -2.3],
+    ], dtype=np.float32)
+    pts = sample_points_in_volume(xyz, scales, rots, opac, octree_level=6,
+                                  num_samples=2000, method="carve",
+                                  viewpoints=views,
+                                  clip_samples_to_input_bbox=False)
+    p = np.asarray(pts)
+    assert p.shape[0] > 100
+    r = np.linalg.norm(p, axis=1)
+    assert (r < 0.25).mean() > 0.02  # interior filled
+    assert r.max() < 0.8
 
 
 def test_transform_gaussians_rigid():
