@@ -228,3 +228,33 @@ def export_gaussians(path, positions, opacities, scales, rotations, sh_coeffs):
     for i in range(4):
         props[f"rot_{i}"] = np.asarray(rotations)[:, i]
     write_ply(path, props)
+
+
+def import_gaussiancloud(filename, apply_activations=True):
+    """INRIA 3DGS ply → GaussianSplatModel; applies the standard activations
+    (sigmoid opacity, exp scales, quaternion normalization) unless disabled.
+    Ref :31."""
+    from kaolin_tpu.rep.gaussians import GaussianSplatModel
+    d = import_gaussians(filename)
+    return GaussianSplatModel.from_gaussian_dict(d,
+                                                 activated=apply_activations)
+
+
+def export_gaussiancloud(file_path, positions, orientations, scales,
+                         opacities, sh_coeff, overwrite=False):
+    """Write a 3DGS ply in raw (pre-activation) space: log-scales, logit
+    opacity, unnormalized (w, x, y, z) quaternions. Ref :143."""
+    import os
+    if not overwrite and os.path.exists(file_path):
+        raise RuntimeError(f"Cannot overwrite: {file_path}")
+    eps = 1e-7
+    op = np.clip(np.asarray(opacities, dtype=np.float64).reshape(-1),
+                 eps, 1 - eps)
+    raw_op = np.log(op / (1.0 - op))
+    raw_scales = np.log(np.clip(np.asarray(scales, dtype=np.float64),
+                                eps, None))
+    export_gaussians(file_path, positions, raw_op, raw_scales, orientations,
+                     sh_coeff)
+
+
+__all__ += ["import_gaussiancloud", "export_gaussiancloud"]

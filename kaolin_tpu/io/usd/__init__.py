@@ -11,3 +11,14 @@ from kaolin_tpu.io.usd.core import (  # noqa: F401
     import_meshes,
     import_pointcloud,
 )
+from kaolin_tpu.io.usd.core import (  # noqa: F401
+    add_gaussiancloud,
+    add_physics_material,
+    add_skinned_physics,
+    export_gaussiancloud,
+    get_physics_material,
+    get_skinned_physics,
+    import_gaussiancloud,
+    import_gaussianclouds,
+    import_voxelgrid,
+)

@@ -320,3 +320,245 @@ def import_pointcloud(file_path, scene_path=None, time=None):
             colors = jnp.asarray(_parse_vec_array(ctext))
         return pts, colors
     raise ValueError(f"no Points prim in {file_path}")
+
+
+# ---------------- gaussian splats (ref usd/gaussians.py) ----------------
+
+def add_gaussiancloud(stage, scene_path, positions, orientations, scales,
+                      opacities, sh_coeff, local_to_world=None, time=None):
+    """Author a ``ParticleField3DGaussianSplat`` prim. Orientation input is
+    (w, x, y, z); stored on disk as (x, y, z, w) quatf like the reference
+    (``usd/gaussians.py:247``). sh_coeff is (N, S, 3), flattened on disk."""
+    prim = stage._get_prim(scene_path, "ParticleField3DGaussianSplat")
+    ori = np.asarray(orientations, dtype=np.float32)
+    ori_xyzw = np.concatenate([ori[:, 1:], ori[:, :1]], axis=1)
+    sh = np.asarray(sh_coeff, dtype=np.float32)
+    sh_degree = int(round(np.sqrt(sh.shape[1]))) - 1
+    prim.set_attr("positions", "point3f[]", _fmt_vec_array(positions), time)
+    prim.set_attr("orientations", "quatf[]",
+                  _fmt_vec_array(ori_xyzw, per=4), time)
+    prim.set_attr("scales", "float3[]", _fmt_vec_array(scales), time)
+    prim.set_attr("opacities", "float[]",
+                  "[" + ", ".join(f"{float(x):g}"
+                                  for x in np.asarray(opacities).reshape(-1))
+                  + "]", time)
+    prim.set_attr("radianceSphericalHarmonicsDegree", "int", str(sh_degree))
+    prim.set_attr("radianceSphericalHarmonicsCoefficients", "float3[]",
+                  _fmt_vec_array(sh.reshape(-1, 3)), time)
+    if local_to_world is not None:
+        mat = np.asarray(local_to_world, dtype=np.float64)
+        rows = ", ".join("(" + ", ".join(f"{x:g}" for x in r) + ")"
+                         for r in mat)
+        prim.set_attr("xformOp:transform", "matrix4d", f"( {rows} )", time)
+    return prim
+
+
+def export_gaussiancloud(file_path, positions, orientations, scales,
+                         opacities, sh_coeff,
+                         scene_path="/World/Gaussians/gaussian_0",
+                         local_to_world=None, time=None, up_axis="Y"):
+    """Write a gaussian cloud USDA. Ref ``usd/gaussians.py:290``."""
+    stage = create_stage(file_path, up_axis)
+    add_gaussiancloud(stage, scene_path, positions, orientations, scales,
+                      opacities, sh_coeff, local_to_world=local_to_world,
+                      time=time)
+    stage.save()
+
+
+def _parse_float_array(text):
+    inner = text[text.index("[") + 1:text.index("]")]
+    if not inner.strip():
+        return np.zeros((0,), dtype=np.float32)
+    return np.asarray([float(x) for x in inner.split(",")], dtype=np.float32)
+
+
+def import_gaussianclouds(file_path, scene_path=None, time=None):
+    """All ParticleField3DGaussianSplat prims → list of GaussianSplatModel.
+    Ref ``usd/gaussians.py:83``."""
+    from kaolin_tpu.rep.gaussians import GaussianSplatModel
+
+    def pick(body, name, vec=True, per=3):
+        default, samples = _extract_attr(body, name)
+        if time is not None and samples:
+            key = min(samples, key=lambda t: abs(t - time))
+            text = samples[key]
+        else:
+            text = default or next(iter(samples.values()), None)
+        if text is None:
+            return None
+        return (_parse_vec_array(text, per=per) if vec
+                else _parse_float_array(text))
+
+    out = []
+    for prim in _parse_usda(file_path):
+        if prim["type"] != "ParticleField3DGaussianSplat":
+            continue
+        if scene_path is not None and scene_path.split("/")[-1] \
+                not in (prim["name"],):
+            continue
+        body = prim["body"]
+        positions = pick(body, "positions")
+        ori_xyzw = pick(body, "orientations", per=4)
+        orientations = np.concatenate(
+            [ori_xyzw[:, 3:], ori_xyzw[:, :3]], axis=1)
+        scales = pick(body, "scales")
+        opacities = pick(body, "opacities", vec=False)
+        sh_flat = pick(body, "radianceSphericalHarmonicsCoefficients")
+        sh = sh_flat.reshape(positions.shape[0], -1, 3)
+        out.append(GaussianSplatModel(
+            positions=jnp.asarray(positions),
+            orientations=jnp.asarray(orientations),
+            scales=jnp.asarray(scales), opacities=jnp.asarray(opacities),
+            sh_coeff=jnp.asarray(sh), strict_checks=False))
+    return out
+
+
+def import_gaussiancloud(file_path, scene_path=None, time=None):
+    """First (or merged) gaussian cloud → GaussianSplatModel or None.
+    Ref ``usd/gaussians.py:134``."""
+    from kaolin_tpu.rep.gaussians import GaussianSplatModel
+    clouds = import_gaussianclouds(file_path, scene_path, time)
+    if not clouds:
+        return None
+    if len(clouds) == 1:
+        return clouds[0]
+    return GaussianSplatModel.cat(clouds)
+
+
+def import_voxelgrid(file_path, scene_path=None, time=None):
+    """Points prim with grid_resolution → dense bool grid."""
+    for prim in _parse_usda(file_path):
+        if prim["type"] != "Points":
+            continue
+        body = prim["body"]
+        m = re.search(r"grid_resolution\s*=\s*(\d+)", body)
+        if not m:
+            continue
+        res = int(m.group(1))
+        default, samples = _extract_attr(body, "points")
+        if time is not None and samples:
+            key = min(samples, key=lambda t: abs(t - time))
+            text = samples[key]
+        else:
+            text = default or next(iter(samples.values()), None)
+        centers = _parse_vec_array(text)
+        coords = np.clip((centers * res - 0.5).round().astype(np.int64),
+                         0, res - 1)
+        grid = np.zeros((res, res, res), dtype=bool)
+        grid[coords[:, 0], coords[:, 1], coords[:, 2]] = True
+        return jnp.asarray(grid)
+    raise ValueError(f"no voxelgrid Points prim in {file_path}")
+
+
+# -------- physics materials (ref usd/physics_materials.py, custom schema) ---
+
+def add_physics_material(stage, scene_path, physics_points,
+                         material_name="default", time=None):
+    """Persist PhysicsPoints as KaolinPhysicsMaterialAPI attributes
+    (ref ``usd/physics_materials.py:35``, schema ``custom_schema``:38)."""
+    prim = stage._get_prim(scene_path, "Xform")
+    ns = f"kaolin_physics_material:{material_name}"
+    prim.set_attr(f"{ns}:pts", "point3f[]",
+                  _fmt_vec_array(physics_points.pts), time)
+    for name in ("yms", "prs", "rhos"):
+        arr = np.asarray(getattr(physics_points, name)).reshape(-1)
+        prim.set_attr(f"{ns}:{name}", "float[]",
+                      "[" + ", ".join(f"{float(x):g}" for x in arr) + "]",
+                      time)
+    prim.set_attr(f"{ns}:appx_vol", "float",
+                  f"{float(physics_points.appx_vol):g}", time)
+    return prim
+
+
+def add_skinned_physics(stage, scene_path, skinned_physics_points,
+                        instance_name="default", time=None):
+    """Persist SkinnedPhysicsPoints as KaolinSkinnedPhysicsAPI attributes
+    (ref ``usd/physics_materials.py:102``, schema :66)."""
+    prim = add_physics_material(stage, scene_path, skinned_physics_points,
+                                material_name=instance_name, time=time)
+    ns = f"kaolin_physics_material:{instance_name}"
+    sw = np.asarray(skinned_physics_points.skinning_weights)
+    dw = np.asarray(skinned_physics_points.dwdx)
+    prim.set_attr(f"{ns}:num_handles", "int", str(sw.shape[1]))
+    prim.set_attr(f"{ns}:skinning_weights", "float[]",
+                  "[" + ", ".join(f"{float(x):g}" for x in sw.reshape(-1))
+                  + "]", time)
+    prim.set_attr(f"{ns}:dwdx", "float[]",
+                  "[" + ", ".join(f"{float(x):g}" for x in dw.reshape(-1))
+                  + "]", time)
+    if skinned_physics_points.renderable is not None:
+        rend = skinned_physics_points.renderable
+        prim.set_attr(f"{ns}:renderable_pts", "point3f[]",
+                      _fmt_vec_array(rend.pts), time)
+        prim.set_attr(
+            f"{ns}:renderable_skinning_weights", "float[]",
+            "[" + ", ".join(
+                f"{float(x):g}"
+                for x in np.asarray(rend.skinning_weights).reshape(-1))
+            + "]", time)
+    return prim
+
+
+def get_physics_material(file_path, scene_path=None, material_name="default"):
+    """Read back a PhysicsPoints. Ref ``usd/physics_materials.py:173``."""
+    from kaolin_tpu.physics.simplicits.training import PhysicsPoints
+    ns = f"kaolin_physics_material:{material_name}"
+    for prim in _parse_usda(file_path):
+        body = prim["body"]
+        if f"{ns}:pts" not in body:
+            continue
+        pts = _parse_vec_array(_extract_attr(body, f"{ns}:pts")[0])
+        fields = {}
+        for name in ("yms", "prs", "rhos"):
+            fields[name] = _parse_float_array(
+                _extract_attr(body, f"{ns}:{name}")[0])
+        m = re.search(rf"{re.escape(ns)}:appx_vol\s*=\s*([\d.eE+-]+)", body)
+        return PhysicsPoints(pts=jnp.asarray(pts), yms=fields["yms"],
+                             prs=fields["prs"], rhos=fields["rhos"],
+                             appx_vol=float(m.group(1)))
+    raise ValueError(f"no physics material '{material_name}' in {file_path}")
+
+
+def get_skinned_physics(file_path, scene_path=None, instance_name="default"):
+    """Read back a SkinnedPhysicsPoints. Ref :247."""
+    from kaolin_tpu.physics.simplicits.training import (SkinnedPhysicsPoints,
+                                                        SkinnedPoints)
+    ns = f"kaolin_physics_material:{instance_name}"
+    for prim in _parse_usda(file_path):
+        body = prim["body"]
+        if f"{ns}:skinning_weights" not in body:
+            continue
+        pts = _parse_vec_array(_extract_attr(body, f"{ns}:pts")[0])
+        n = pts.shape[0]
+        m = re.search(rf"{re.escape(ns)}:num_handles\s*=\s*(\d+)", body)
+        h = int(m.group(1))
+        fields = {}
+        for name in ("yms", "prs", "rhos"):
+            fields[name] = _parse_float_array(
+                _extract_attr(body, f"{ns}:{name}")[0])
+        sw = _parse_float_array(
+            _extract_attr(body, f"{ns}:skinning_weights")[0]).reshape(n, h)
+        dw = _parse_float_array(
+            _extract_attr(body, f"{ns}:dwdx")[0]).reshape(n, h, 3)
+        mv = re.search(rf"{re.escape(ns)}:appx_vol\s*=\s*([\d.eE+-]+)", body)
+        renderable = None
+        rp_text = _extract_attr(body, f"{ns}:renderable_pts")[0]
+        if rp_text:
+            rpts = _parse_vec_array(rp_text)
+            rsw = _parse_float_array(_extract_attr(
+                body, f"{ns}:renderable_skinning_weights")[0]) \
+                .reshape(rpts.shape[0], h)
+            renderable = SkinnedPoints(jnp.asarray(rpts), jnp.asarray(rsw))
+        return SkinnedPhysicsPoints(
+            pts=jnp.asarray(pts), yms=fields["yms"], prs=fields["prs"],
+            rhos=fields["rhos"], appx_vol=float(mv.group(1)),
+            skinning_weights=jnp.asarray(sw), dwdx=jnp.asarray(dw),
+            renderable=renderable)
+    raise ValueError(f"no skinned physics '{instance_name}' in {file_path}")
+
+
+__all__ += [
+    "add_gaussiancloud", "export_gaussiancloud", "import_gaussiancloud",
+    "import_gaussianclouds", "import_voxelgrid", "add_physics_material",
+    "add_skinned_physics", "get_physics_material", "get_skinned_physics",
+]
