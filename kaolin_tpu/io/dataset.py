@@ -10,6 +10,7 @@ import os
 import pickle
 
 import numpy as np
+from collections import namedtuple
 
 __all__ = ["Cache", "CachedDataset"]
 
@@ -110,3 +111,72 @@ def _to_numpy(tree):
         return np.asarray(tree)
     except Exception:
         return tree
+
+
+KaolinDatasetItem = namedtuple("KaolinDatasetItem", ["data", "attributes"])
+
+
+class KaolinDataset:
+    """Dataset returning ``KaolinDatasetItem(data, attributes)``; subclasses
+    implement ``initialize``, ``get_data``, ``get_attributes``, ``__len__``.
+    Ref ``io/dataset.py`` (KaolinDataset)."""
+
+    def __init__(self, *args, **kwargs):
+        self.initialize(*args, **kwargs)
+
+    def initialize(self, *args, **kwargs):
+        raise NotImplementedError
+
+    def get_data(self, index):
+        raise NotImplementedError
+
+    def get_attributes(self, index):
+        raise NotImplementedError
+
+    def __len__(self):
+        raise NotImplementedError
+
+    def __getitem__(self, index):
+        return KaolinDatasetItem(data=self.get_data(index),
+                                 attributes=self.get_attributes(index))
+
+
+class CombinationDataset(KaolinDataset):
+    """Zips several datasets: data is a tuple of each dataset's data,
+    attributes a tuple of their attributes. Ref (CombinationDataset)."""
+
+    def initialize(self, *datasets):
+        assert datasets, "at least one dataset required"
+        self.len = len(datasets[0])
+        for ds in datasets:
+            assert len(ds) == self.len, "datasets must have equal length"
+        self.datasets = datasets
+
+    def __len__(self):
+        return self.len
+
+    def get_data(self, index):
+        return tuple(_field(ds[index], 0) for ds in self.datasets)
+
+    def get_attributes(self, index):
+        return tuple(_field(ds[index], 1) for ds in self.datasets)
+
+
+def _field(item, i):
+    if isinstance(item, KaolinDatasetItem):
+        return item[i]
+    return item if i == 0 else {}
+
+
+class ProcessedDataset(CachedDataset):
+    """Deprecated alias of :class:`CachedDataset`. Ref (ProcessedDataset)."""
+
+    def __init__(self, dataset, preprocessing_transform=None, cache_dir=None,
+                 num_workers=None, transform=None, no_progress=False):
+        import warnings
+        warnings.warn("ProcessedDataset is deprecated; use CachedDataset",
+                      DeprecationWarning)
+        super().__init__(dataset,
+                         preprocessing_transform=preprocessing_transform,
+                         transform=transform, cache_dir=cache_dir,
+                         num_workers=num_workers or 0)

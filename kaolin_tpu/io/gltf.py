@@ -245,3 +245,6 @@ def import_mesh(path):
         out.materials = materials
         out.material_assignments = jnp.asarray(np.concatenate(assignments))
     return out
+
+
+from kaolin_tpu.render.materials import PBRMaterial  # noqa: F401,E402

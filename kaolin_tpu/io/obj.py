@@ -259,3 +259,29 @@ def export_mesh(path, vertices=None, faces=None, uvs=None, face_uvs_idx=None,
                         tok += "/" + str(fn[i][k] + 1)
                 toks.append(tok)
             f.write("f " + " ".join(toks) + "\n")
+
+
+def flatten_feature(feature):
+    """Flatten the nested list of a feature. Ref ``io/obj.py:69``."""
+    if feature is None or len(feature) == 0:
+        return None
+    return [item for sublist in feature for item in sublist]
+
+
+def __getattr__(name):
+    # lazy re-export: io.materials imports this module's error classes, so a
+    # module-level import here would be circular
+    if name == "process_materials_and_assignments":
+        from kaolin_tpu.io.materials import (
+            process_materials_and_assignments as fn)
+        return fn
+    raise AttributeError(name)
+
+
+from kaolin_tpu.io.utils import (  # noqa: F401,E402
+    create_missing_materials_error_handler,
+    default_error_handler,
+    ignore_error_handler,
+    skip_error_handler,
+)
+from kaolin_tpu.render.materials import PBRMaterial  # noqa: F401,E402

@@ -60,3 +60,8 @@ def export_mesh(path, vertices, faces):
             f.write(f"{x[0]} {x[1]} {x[2]}\n")
         for face in f_np:
             f.write(f"{len(face)} " + " ".join(str(i) for i in face) + "\n")
+
+
+# named return container, matching the reference's ``return_type`` export
+from collections import namedtuple  # noqa: E402
+return_type = namedtuple("return_type", ["vertices", "faces", "face_colors"])

@@ -258,3 +258,10 @@ def export_gaussiancloud(file_path, positions, orientations, scales,
 
 
 __all__ += ["import_gaussiancloud", "export_gaussiancloud"]
+
+
+def __getattr__(name):
+    if name == "GaussianSplatModel":
+        from kaolin_tpu.rep.gaussians import GaussianSplatModel
+        return GaussianSplatModel
+    raise AttributeError(name)

@@ -69,3 +69,8 @@ def import_synthetic_view(root_dir, idx, rgb=True, depth_linear=False,
     if bbox_2d_loose:
         output["bbox_2d_loose"] = meta["bbox_2d_loose"]
     return output
+
+
+from kaolin_tpu.render.camera.legacy import (  # noqa: F401,E402
+    generate_perspective_projection,
+)

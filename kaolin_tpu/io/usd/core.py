@@ -562,3 +562,247 @@ __all__ += [
     "import_gaussianclouds", "import_voxelgrid", "add_physics_material",
     "add_skinned_physics", "get_physics_material", "get_skinned_physics",
 ]
+
+
+# ---------------- scene queries (ref usd/utils.py) ----------------
+
+def get_scene_paths(file_path, scene_path_regex=None, prim_types=None):
+    """All prim scene paths, optionally filtered by regex / prim types.
+    Ref ``usd/utils.py:52``. (The lightweight USDA parser tracks prim names
+    flat, so paths are '/<name>' unless authored nested.)"""
+    if prim_types is not None and isinstance(prim_types, str):
+        prim_types = [prim_types]
+    out = []
+    for prim in _parse_usda(file_path):
+        if prim_types is not None and prim["type"] not in prim_types:
+            continue
+        path = "/" + prim["name"]
+        if scene_path_regex is not None \
+                and re.search(scene_path_regex, path) is None:
+            continue
+        out.append(path)
+    return out
+
+
+def get_mesh_scene_paths(file_path, scene_path_regex=None):
+    """Ref ``usd/mesh.py:49``."""
+    return get_scene_paths(file_path, scene_path_regex, prim_types=["Mesh"])
+
+
+def get_pointcloud_scene_paths(file_path, scene_path_regex=None):
+    """Ref ``usd/pointcloud.py:49``."""
+    return get_scene_paths(file_path, scene_path_regex,
+                           prim_types=["Points", "PointInstancer"])
+
+
+def get_gaussiancloud_scene_paths(file_path, scene_path=None):
+    """Ref ``usd/gaussians.py:164``."""
+    regex = f"{re.escape(scene_path)}(/|$)" if scene_path else None
+    return get_scene_paths(file_path, regex,
+                           prim_types=["ParticleField3DGaussianSplat"])
+
+
+def get_authored_time_samples(file_path):
+    """Union of all authored timeSamples keys. Ref ``usd/utils.py:97``."""
+    times = set()
+    with open(file_path) as f:
+        src = f.read()
+    for m in re.finditer(r"^\s*([\d.]+)\s*:", src, re.MULTILINE):
+        times.add(float(m.group(1)))
+    return sorted(times)
+
+
+def get_pointcloud_bracketing_time_samples(file_path, scene_path,
+                                           target_time):
+    """Two samples bracketing target_time for the first Points prim.
+    Ref ``usd/pointcloud.py:72``."""
+    for prim in _parse_usda(file_path):
+        if prim["type"] != "Points":
+            continue
+        _, samples = _extract_attr(prim["body"], "points")
+        if not samples:
+            return [target_time, target_time]
+        times = sorted(samples)
+        lo = max([t for t in times if t <= target_time], default=times[0])
+        hi = min([t for t in times if t >= target_time], default=times[-1])
+        return [lo, hi]
+    raise ValueError(f"no Points prim in {file_path}")
+
+
+# ---------------- plural import/export ----------------
+
+def export_pointclouds(file_path, pointclouds, scene_paths=None, colors=None,
+                       up_axis="Y"):
+    """Ref ``usd/pointcloud.py:421``."""
+    stage = create_stage(file_path, up_axis)
+    if scene_paths is None:
+        scene_paths = [f"/World/pointcloud_{i}"
+                       for i in range(len(pointclouds))]
+    for i, (sp, pts) in enumerate(zip(scene_paths, pointclouds)):
+        stage.add_pointcloud(
+            sp, pts, colors=None if colors is None else colors[i])
+    stage.save()
+
+
+def import_pointclouds(file_path, scene_paths=None, times=None):
+    """All Points prims → (list of points, list of colors). Ref :147."""
+    points, colors = [], []
+    for prim in _parse_usda(file_path):
+        if prim["type"] != "Points":
+            continue
+        default, samples = _extract_attr(prim["body"], "points")
+        text = default or next(iter(samples.values()), None)
+        if text is None:
+            continue
+        points.append(jnp.asarray(_parse_vec_array(text)))
+        cd, cs = _extract_attr(prim["body"], "primvars:displayColor")
+        ctext = cd or next(iter(cs.values()), None)
+        colors.append(jnp.asarray(_parse_vec_array(ctext))
+                      if ctext else None)
+    return points, colors
+
+
+def export_voxelgrid(file_path, voxelgrid, scene_path="/World/voxelgrid",
+                     up_axis="Y"):
+    """Ref ``usd/voxelgrid.py:197``."""
+    stage = create_stage(file_path, up_axis)
+    stage.add_voxelgrid(scene_path, voxelgrid)
+    stage.save()
+
+
+def export_voxelgrids(file_path, voxelgrids, scene_paths=None, up_axis="Y"):
+    """Ref :225."""
+    stage = create_stage(file_path, up_axis)
+    if scene_paths is None:
+        scene_paths = [f"/World/voxelgrid_{i}"
+                       for i in range(len(voxelgrids))]
+    for sp, vg in zip(scene_paths, voxelgrids):
+        stage.add_voxelgrid(sp, vg)
+    stage.save()
+
+
+def import_voxelgrids(file_path, scene_paths=None, times=None):
+    """All voxelgrid prims → list of dense bool grids. Ref :63."""
+    out = []
+    for prim in _parse_usda(file_path):
+        if prim["type"] != "Points":
+            continue
+        m = re.search(r"grid_resolution\s*=\s*(\d+)", prim["body"])
+        if not m:
+            continue
+        res = int(m.group(1))
+        default, samples = _extract_attr(prim["body"], "points")
+        text = default or next(iter(samples.values()), None)
+        centers = _parse_vec_array(text)
+        coords = np.clip((centers * res - 0.5).round().astype(np.int64),
+                         0, res - 1)
+        grid = np.zeros((res, res, res), dtype=bool)
+        grid[coords[:, 0], coords[:, 1], coords[:, 2]] = True
+        out.append(jnp.asarray(grid))
+    return out
+
+
+# -------- UsdPreviewSurface materials (ref usd/materials.py:400,487) --------
+
+# PBRMaterial attribute → (usd input name, usd type)
+_PREVIEW_SURFACE_INPUTS = {
+    "diffuse_color": ("diffuseColor", "color3f"),
+    "roughness_value": ("roughness", "float"),
+    "metallic_value": ("metallic", "float"),
+    "specular_color": ("specularColor", "color3f"),
+    "opacity_value": ("opacity", "float"),
+    "ior_value": ("ior", "float"),
+    "clearcoat_value": ("clearcoat", "float"),
+    "clearcoat_roughness_value": ("clearcoatRoughness", "float"),
+}
+_TEXTURE_INPUTS = {
+    "diffuse": "diffuseColor", "roughness": "roughness",
+    "metallic": "metallic", "normals": "normal",
+}
+
+
+def write_usd_preview_surface(pbr_material, stage, scene_path,
+                              write_texture_by_basename_fn=None, time=None):
+    """Author a UsdPreviewSurface Shader prim from a PBRMaterial; textures
+    are written via the exporter callable and referenced by relative path.
+    Ref ``usd/materials.py:487``."""
+    prim = stage._get_prim(scene_path + "/Shader", "Shader")
+    prim.set_attr("info:id", "token", '"UsdPreviewSurface"')
+
+    def set_scalar(name, usd_type, value):
+        v = np.asarray(value).reshape(-1)
+        if usd_type == "color3f":
+            prim.set_attr(f"inputs:{name}", "color3f",
+                          "(" + ", ".join(f"{x:g}" for x in v) + ")", time)
+        else:
+            prim.set_attr(f"inputs:{name}", "float", f"{float(v[0]):g}",
+                          time)
+
+    for attr, (usd_name, usd_type) in _PREVIEW_SURFACE_INPUTS.items():
+        value = getattr(pbr_material, attr, None)
+        if value is not None:
+            set_scalar(usd_name, usd_type, value)
+    prim.set_attr("inputs:useSpecularWorkflow", "int",
+                  str(int(bool(getattr(pbr_material, "is_specular_workflow",
+                                       False)))))
+    if write_texture_by_basename_fn is not None:
+        for attr, usd_name in _TEXTURE_INPUTS.items():
+            tex = getattr(pbr_material, attr + "_texture", None)
+            if tex is not None:
+                rel = write_texture_by_basename_fn(np.asarray(tex), attr)
+                prim.set_attr(f"inputs:{usd_name}:file", "asset",
+                              f'@{rel}@', time)
+    return prim
+
+
+def read_usd_preview_surface(file_path, scene_path=None, time=None,
+                             texture_root=None):
+    """Parse a UsdPreviewSurface Shader prim → PBRMaterial. Ref :400."""
+    import os as _os
+
+    from kaolin_tpu.render.materials import PBRMaterial
+    if texture_root is None:
+        texture_root = _os.path.dirname(_os.path.abspath(file_path))
+    inv_inputs = {v[0]: (k, v[1]) for k, v in _PREVIEW_SURFACE_INPUTS.items()}
+    inv_tex = {v: k for k, v in _TEXTURE_INPUTS.items()}
+    for prim in _parse_usda(file_path):
+        if prim["type"] != "Shader":
+            continue
+        if scene_path is not None and prim["name"] not in (
+                scene_path.split("/")[-1], "Shader"):
+            continue
+        body = prim["body"]
+        params = {}
+        for usd_name, (attr, usd_type) in inv_inputs.items():
+            if usd_type == "color3f":
+                m = re.search(
+                    rf"inputs:{usd_name}\s*=\s*\(([^)]*)\)", body)
+                if m:
+                    params[attr] = jnp.asarray(
+                        [float(x) for x in m.group(1).split(",")])
+            else:
+                m = re.search(
+                    rf"inputs:{usd_name}\s*=\s*([-\d.eE+]+)", body)
+                if m:
+                    params[attr] = float(m.group(1))
+        m = re.search(r"inputs:useSpecularWorkflow\s*=\s*(\d+)", body)
+        if m:
+            params["is_specular_workflow"] = bool(int(m.group(1)))
+        for usd_name, attr in inv_tex.items():
+            m = re.search(rf"inputs:{usd_name}:file\s*=\s*@([^@]*)@", body)
+            if m:
+                from kaolin_tpu.io.utils import read_image
+                params[attr + "_texture"] = read_image(
+                    _os.path.join(texture_root, m.group(1)))
+        return PBRMaterial(**params)
+    raise ValueError(f"no Shader prim in {file_path}")
+
+
+__all__ += [
+    "get_scene_paths", "get_mesh_scene_paths", "get_pointcloud_scene_paths",
+    "get_gaussiancloud_scene_paths", "get_authored_time_samples",
+    "get_pointcloud_bracketing_time_samples", "export_pointclouds",
+    "import_pointclouds", "export_voxelgrid", "export_voxelgrids",
+    "import_voxelgrids", "write_usd_preview_surface",
+    "read_usd_preview_surface",
+]

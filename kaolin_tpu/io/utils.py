@@ -101,3 +101,64 @@ def mesh_handler_naive_triangulate(vertices, face_vertex_counts, *features,
 
 # legacy alias matching older reference naming
 heterogeneous_mesh_handler_naive_homogenize = mesh_handler_naive_triangulate
+
+
+def read_image(path):
+    """Load an image file → float array in [0, 1], (H, W, C). Ref
+    ``io/utils.py`` (read_image)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+    arr = np.array(Image.open(path))
+    if arr.dtype == np.uint8:
+        arr = arr.astype(np.float32) / 255.0
+    return jnp.asarray(arr)
+
+
+def read_image_from_buffer(data):
+    """Same as :func:`read_image` from an in-memory buffer."""
+    import io as _io
+
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+    arr = np.array(Image.open(_io.BytesIO(data)))
+    if arr.dtype == np.uint8:
+        arr = arr.astype(np.float32) / 255.0
+    return jnp.asarray(arr)
+
+
+def write_image(image, path):
+    """Save a float [0,1] or uint8 image array. Ref (write_image)."""
+    import numpy as np
+    from PIL import Image
+    arr = np.asarray(image)
+    if arr.dtype != np.uint8:
+        arr = (np.clip(arr, 0.0, 1.0) * 255).astype(np.uint8)
+    if arr.ndim == 3 and arr.shape[-1] == 1:
+        arr = arr[..., 0]
+    Image.fromarray(arr).save(path)
+
+
+class TextureExporter:
+    """Callable that writes material textures next to an exported asset and
+    returns the relative path to embed. Ref ``io/utils.py`` (TextureExporter).
+    """
+
+    def __init__(self, base_dir, relative_dir="textures", image_extension=".png"):
+        self.base_dir = base_dir
+        self.relative_dir = relative_dir
+        self.image_extension = image_extension
+        self._counts = {}
+
+    def __call__(self, image, texture_name="texture"):
+        import os
+        idx = self._counts.get(texture_name, 0)
+        self._counts[texture_name] = idx + 1
+        suffix = "" if idx == 0 else f"_{idx}"
+        rel = os.path.join(self.relative_dir,
+                           f"{texture_name}{suffix}{self.image_extension}")
+        full = os.path.join(self.base_dir, rel)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        write_image(image, full)
+        return rel

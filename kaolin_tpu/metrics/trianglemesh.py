@@ -14,6 +14,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from kaolin_tpu.ops.mesh.mesh import uniform_laplacian  # noqa: F401
 
 __all__ = [
     "point_to_mesh_distance",

@@ -20,3 +20,4 @@ from kaolin_tpu.ops.mesh.trianglemesh import (  # noqa: F401
     uniform_laplacian_smoothing,
     vertex_tangents,
 )
+from kaolin_tpu.ops.mesh.mesh import unindex_vertices_by_faces  # noqa: F401

@@ -82,3 +82,16 @@ def average_face_vertex_features(faces, face_features, num_vertices=None):
 def compute_vertex_normals(faces, face_normals, num_vertices=None):
     """Per-vertex normals by averaging incident face normals. Ref :154."""
     return average_face_vertex_features(faces, face_normals, num_vertices)
+
+
+def unindex_vertices_by_faces(face_vertices):
+    """Inverse of :func:`index_vertices_by_faces`: flatten per-face vertices
+    into unique-per-corner vertices + trivial faces. Ref ``mesh.py``
+    (unindex_vertices_by_faces)."""
+    import jax.numpy as jnp
+    b_shape = face_vertices.shape[:-3]
+    nf = face_vertices.shape[-3]
+    vertices = face_vertices.reshape(b_shape + (nf * 3,)
+                                     + face_vertices.shape[-1:])
+    faces = jnp.arange(nf * 3, dtype=jnp.int64).reshape(nf, 3)
+    return vertices, faces

@@ -12,6 +12,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from kaolin_tpu.ops.spc.uint8 import uint8_to_bits  # noqa: F401
+
 __all__ = [
     "manual_seed",
     "random_shape_per_tensor",
@@ -79,3 +81,18 @@ def sample_spherical_coords(shape, azimuth_low=0., azimuth_high=2 * np.pi,
     sin_lo, sin_hi = np.sin(elevation_low), np.sin(elevation_high)
     elevation = jnp.arcsin(jax.random.uniform(k2, shape, minval=sin_lo, maxval=sin_hi))
     return azimuth, elevation
+
+
+def get_state():
+    """Snapshot host RNG state (numpy + python random). Ref ``random.py``
+    (get_state; torch states replaced by host RNGs — JAX keys are explicit)."""
+    import random as _random
+    return (np.random.get_state(), _random.getstate())
+
+
+def set_state(state):
+    """Restore a state from :func:`get_state`. Ref (set_state)."""
+    import random as _random
+    np_state, py_state = state
+    np.random.set_state(np_state)
+    _random.setstate(py_state)

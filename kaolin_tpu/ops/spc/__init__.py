@@ -1,4 +1,5 @@
 from kaolin_tpu.ops.spc.points import (  # noqa: F401
+    coords_to_trilinear,
     coords_to_trilinear_coeffs,
     create_dense_spc,
     morton_to_octree,

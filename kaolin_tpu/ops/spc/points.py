@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
+    "coords_to_trilinear",
     "quantize_points",
     "unbatched_points_to_octree",
     "points_to_morton",
@@ -173,3 +174,12 @@ def create_dense_spc(level, **kwargs):
     octree = jnp.full((num_bytes,), 255, dtype=jnp.uint8)
     lengths = jnp.asarray([num_bytes], dtype=jnp.int32)
     return octree, lengths
+
+
+def coords_to_trilinear(coords, points, level):
+    """Deprecated alias of :func:`coords_to_trilinear_coeffs`. Ref
+    ``points.py`` (coords_to_trilinear)."""
+    import warnings
+    warnings.warn("coords_to_trilinear is deprecated, "
+                  "use coords_to_trilinear_coeffs", DeprecationWarning)
+    return coords_to_trilinear_coeffs(coords, points, level)

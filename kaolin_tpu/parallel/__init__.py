@@ -8,7 +8,10 @@ TPU-native design: ``jax.sharding.Mesh`` + ``shard_map`` for
 Collectives ride ICI via XLA (psum/all_gather); no NCCL analog needed.
 """
 
-from kaolin_tpu.parallel.ops import sharded_chamfer_distance  # noqa: F401
+from kaolin_tpu.parallel.ops import (  # noqa: F401
+    sharded_chamfer_distance,
+    sharded_dibr_rasterization,
+)
 from kaolin_tpu.parallel.simplicits import (  # noqa: F401
     sharded_mlp_train_step,
     sharded_scene_batch_step,

@@ -24,3 +24,30 @@ def sharded_chamfer_distance(mesh, p1, p2, w1=1.0, w2=1.0, squared=True):
         return chamfer_distance(p1_, p2_, w1=w1, w2=w2, squared=squared)
 
     return jax.jit(local)(p1, p2)
+
+
+def sharded_dibr_rasterization(mesh, height, width, face_vertices_z,
+                               face_vertices_image, face_features,
+                               face_normals_z, **kwargs):
+    """Multi-view DIB-R with the view/batch axis sharded over the mesh's
+    'dp' axis — the standard multi-view inverse-rendering loop (one camera
+    batch per device, no cross-device communication; gradients reduce over
+    views outside). Geometry is replicated, views are sharded."""
+    from jax.sharding import PartitionSpec as P
+
+    from kaolin_tpu.render.mesh.dibr import dibr_rasterization
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+        out_specs=(P("dp"), P("dp"), P("dp")),
+        check_vma=False)
+    def local(fvz, fvi, feats, nz):
+        return dibr_rasterization(height, width, fvz, fvi, feats, nz,
+                                  **kwargs)
+
+    return jax.jit(local)(face_vertices_z, face_vertices_image,
+                          face_features, face_normals_z)
+
+
+__all__.append("sharded_dibr_rasterization")

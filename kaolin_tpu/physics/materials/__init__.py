@@ -5,3 +5,4 @@ from kaolin_tpu.physics.materials.material_utils import to_lame       # noqa: F4
 from kaolin_tpu.physics.materials.neohookean_elastic_material import (  # noqa: F401
     NeohookeanElasticMaterial,
 )
+from kaolin_tpu.physics.materials.material_utils import get_defo_grad  # noqa: F401

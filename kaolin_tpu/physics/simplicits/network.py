@@ -108,3 +108,7 @@ class SimplicitsMLP:
         params = mlp_init(key, spatial_dimensions, layer_width, num_handles,
                           num_layers)
         return SkinningFn(params=params, bb_min=bb_min, bb_max=bb_max)
+
+
+# reference name for the skinning-weight module (ref network.py:28)
+SkinningModule = SkinningFn

@@ -97,3 +97,59 @@ def jacobian_dF_dz(model, x0, z):
         return (f + 0.0).reshape(9 * num_samples)
 
     return jax.jacfwd(compute_f)(z.reshape(-1))
+
+
+def lumped_mass_matrix(rhos, total_volume, dim=3):
+    """Diagonal lumped mass + inverse-mass matrices (3N×3N) for uniformly
+    sampled points with per-point density. Ref ``precomputed.py:339``."""
+    rhos = jnp.asarray(rhos).reshape(-1)
+    vol_per_sample = total_volume / rhos.shape[0]
+    pt_mass = jnp.repeat(rhos * vol_per_sample, dim)
+    return jnp.diag(pt_mass), jnp.diag(1.0 / pt_mass)
+
+
+def sparse_lbs_matrix(sim_weights, sim_pts):
+    """Reference-name wrapper for the LBS Jacobian B (3N×12H). On TPU the
+    reduced-order operator is DENSE (MXU matmuls beat sparse bookkeeping at
+    these sizes); name/argument order kept for API parity with
+    ``precomputed.py:158``."""
+    return lbs_matrix(sim_pts, sim_weights)
+
+
+def sparse_dFdz_matrix(sim_weights, sim_weights_jac, sim_pts):
+    """Reference-name wrapper for dF/dz (9N×12H), dense on TPU.
+    Ref ``precomputed.py:270``."""
+    return dFdz_matrix(sim_weights, sim_weights_jac, sim_pts)
+
+
+def sparse_dFdz_matrix_from_dense(enriched_weights_fcn, pts):
+    """dF/dz via autodiff of the weight function (the reference densifies a
+    torch-autograd Jacobian; here it IS the dense matrix).
+    Ref ``precomputed.py:248``."""
+    weights = enriched_weights_fcn(pts)
+    num_handles = weights.shape[1]
+    z = jnp.zeros((num_handles * 12, 1), dtype=weights.dtype)
+    return jacobian_dF_dz(enriched_weights_fcn, pts, z)
+
+
+def sparse_mass_matrix(sim_rhos):
+    """Diagonal 3N×3N mass matrix from densities (dense diagonal on TPU).
+    Ref ``precomputed.py:320``."""
+    rhos = jnp.asarray(sim_rhos).reshape(-1)
+    return jnp.diag(jnp.repeat(rhos, 3))
+
+
+def sparse_collision_jacobian_matrix(sim_weights, sim_pts, indices,
+                                     cp_is_static=None):
+    """LBS Jacobian rows at the collision points ``sim_pts[indices]``
+    (zero rows for static objects). Dense (3K×12H). Ref
+    ``precomputed.py:195``."""
+    idx = jnp.asarray(indices).reshape(-1)
+    w = sim_weights[idx]
+    x = sim_pts[idx]
+    jac = lbs_matrix(x, w)
+    if cp_is_static is not None:
+        static = jnp.asarray(cp_is_static).reshape(-1)
+        mask = jnp.repeat(~static, 3).astype(jac.dtype)
+        jac = jac * mask[:, None]
+    return jac

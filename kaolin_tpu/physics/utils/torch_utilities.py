@@ -39,3 +39,12 @@ def create_projection_mask(num_dofs, kin_dofs):
     mask = np.ones(num_dofs, dtype=bool)
     mask[np.asarray(kin_dofs)] = False
     return np.nonzero(mask)[0]
+
+
+def create_projection_matrix(num_dofs, list_of_kin_dofs):
+    """Dense selection matrix removing kinematic DOF rows:
+    (num_dofs - k, num_dofs). Ref ``torch_utilities.py:45``."""
+    import numpy as np
+    mask = np.ones(num_dofs, dtype=bool)
+    mask[np.asarray(list_of_kin_dofs, dtype=np.int64)] = False
+    return jnp.asarray(np.eye(num_dofs, dtype=np.float32)[mask])

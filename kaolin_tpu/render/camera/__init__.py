@@ -35,3 +35,15 @@ from kaolin_tpu.render.camera.trajectory import (  # noqa: F401
     camera_path_generator,
     loop_camera_path_generator,
 )
+from kaolin_tpu.render.camera.gsplats import (  # noqa: F401
+    gsplats_camera_to_kaolin,
+    kaolin_camera_to_gsplats,
+)
+from kaolin_tpu.render.camera.polyscope import (  # noqa: F401
+    kaolin_camera_to_polyscope,
+    polyscope_camera_to_kaolin,
+)
+from kaolin_tpu.render.camera.extrinsics_backends import (  # noqa: F401
+    ExtrinsicsRep,
+    register_backend,
+)

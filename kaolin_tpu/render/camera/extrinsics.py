@@ -57,7 +57,11 @@ class CameraExtrinsics:
             params = jnp.concatenate([R[:, 0, :], R[:, 1, :], t.reshape(-1, 3)],
                                      axis=-1)
         else:
-            raise ValueError(f"unknown extrinsics backend {backend!r}")
+            from kaolin_tpu.render.camera.extrinsics_backends import get_backend
+            rep = get_backend(backend)
+            if rep is None:
+                raise ValueError(f"unknown extrinsics backend {backend!r}")
+            params = rep.params_from_Rt(R, t.reshape(-1, 3))
         return cls(params, backend=backend)
 
     @classmethod
@@ -102,6 +106,9 @@ class CameraExtrinsics:
         """(C, 3, 3) rotation. Ref :563."""
         if self.backend == "matrix_se3":
             return self.params[:, :9].reshape(-1, 3, 3)
+        if self.backend not in ("matrix_6dof_rotation",):
+            from kaolin_tpu.render.camera.extrinsics_backends import get_backend
+            return get_backend(self.backend).R(self.params)
         # 6dof: Gram-Schmidt the two stored rows, third = cross
         a1 = self.params[:, 0:3]
         a2 = self.params[:, 3:6]
@@ -114,6 +121,9 @@ class CameraExtrinsics:
     @property
     def t(self):
         """(C, 3, 1) translation. Ref :612."""
+        if self.backend not in ("matrix_se3", "matrix_6dof_rotation"):
+            from kaolin_tpu.render.camera.extrinsics_backends import get_backend
+            return get_backend(self.backend).t(self.params)
         return self.params[:, -3:, None]
 
     def __len__(self):

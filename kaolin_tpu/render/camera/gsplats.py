@@ -111,3 +111,19 @@ def gsplat_nerfstudio_camera_to_kaolin(Ks, viewmats, width=None, height=None,
     fovy = 2.0 * math.atan(height / (2.0 * float(Ks[0, 1, 1])))
     return Camera.from_args(view_matrix=view, width=width, height=height,
                             fov=fovy, near=near_plane, far=far_plane)
+
+
+def kaolin_camera_to_gsplats(kal_camera, gs_cam_cls=None):
+    """Deprecated alias of :func:`kaolin_camera_to_gsplat_inria`."""
+    import warnings
+    warnings.warn("kaolin_camera_to_gsplats has been renamed "
+                  "kaolin_camera_to_gsplat_inria", DeprecationWarning)
+    return kaolin_camera_to_gsplat_inria(kal_camera, gs_cam_cls)
+
+
+def gsplats_camera_to_kaolin(gs_camera):
+    """Deprecated alias of :func:`gsplat_inria_camera_to_kaolin`."""
+    import warnings
+    warnings.warn("gsplats_camera_to_kaolin has been renamed "
+                  "gsplat_inria_camera_to_kaolin", DeprecationWarning)
+    return gsplat_inria_camera_to_kaolin(gs_camera)

@@ -8,3 +8,11 @@ from kaolin_tpu.render.easy_render.mesh import (  # noqa: F401
     mesh_rasterize_interpolate,
     render_mesh,
 )
+from kaolin_tpu.render.easy_render.mesh import (  # noqa: F401
+    sg_shade,
+    texture_sample_materials,
+)
+from kaolin_tpu.render.easy_render.mesh import (  # noqa: F401
+    mesh_rasterize_interpolate_cuda,
+    mesh_rasterize_interpolate_nvdiffrast,
+)

@@ -279,3 +279,8 @@ def render_mesh(camera, mesh, lighting=None, custom_materials=None,
         RenderPass.alpha.name: (face_idx >= 0).astype(jnp.float32)[..., None],
     }
     return {k: v for k, v in res.items() if v is not None}
+
+
+# single XLA backend; reference exports per-backend rasterizers
+mesh_rasterize_interpolate_cuda = mesh_rasterize_interpolate
+mesh_rasterize_interpolate_nvdiffrast = mesh_rasterize_interpolate

@@ -11,6 +11,13 @@ the 3 edges (perpendicular where the projection falls on the segment) and 3
 vertices. The reference truncates to the first ``knum`` faces in index order;
 this version includes all faces in the product (strictly more accurate —
 ``knum`` is accepted for API parity).
+
+Perf note (v5-lite, 512², ~5k faces, tile-binned tp=32/cap=512): forward
+~8 ms, VJP ~58 ms with remat. A hand-written Pallas forward kernel measured
+only ~12% faster than the XLA binned path — the op is transcendental-bound
+(exp per face-pixel pair), so XLA is already near roofline; a custom-VJP
+Pallas kernel (analytic d(d²)/d(verts) through the 6-way min) is the
+remaining lever for the backward and is deferred.
 """
 
 import functools

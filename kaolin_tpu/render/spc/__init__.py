@@ -3,6 +3,7 @@ from kaolin_tpu.render.spc.raytrace import (  # noqa: F401
     cumsum,
     diff,
     exponential_integration,
+    mark_first_hit,
     mark_pack_boundaries,
     prod_reduce,
     sum_reduce,

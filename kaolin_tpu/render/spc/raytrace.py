@@ -239,3 +239,11 @@ def exponential_integration(feats, tau, boundaries, exclusive=True):
     transmittance = transmittance * alpha
     feats_out = sum_reduce(transmittance * feats, boundaries)
     return feats_out, transmittance
+
+
+def mark_first_hit(ridx):
+    """Deprecated alias of :func:`mark_pack_boundaries`. Ref :raytrace."""
+    import warnings
+    warnings.warn("mark_first_hit is deprecated, use mark_pack_boundaries",
+                  DeprecationWarning)
+    return mark_pack_boundaries(ridx)

@@ -168,3 +168,109 @@ def tensor_info(t, name="tensor"):
     t = np.asarray(t)
     return (f"{name}: shape={t.shape} dtype={t.dtype} "
             f"min={t.min() if t.size else 'NA'} max={t.max() if t.size else 'NA'}")
+
+
+def check_allclose(tensor, other, rtol=1e-5, atol=1e-8, equal_nan=False):
+    """Raise with example diffs if not allclose. Ref ``testing.py:411``."""
+    a = np.asarray(tensor)
+    b = np.asarray(other)
+    if not np.allclose(a, b, atol=atol, rtol=rtol, equal_nan=equal_nan):
+        diff_idx = np.where(~np.isclose(a, b, atol=atol, rtol=rtol,
+                                        equal_nan=equal_nan))
+        raise ValueError(
+            f"Tensors are not close on indices {diff_idx}: "
+            f"Example values: {a[diff_idx][:10]} vs {b[diff_idx][:10]}.")
+
+
+def contained_torch_equal(elem, other, approximate=False,
+                          print_error_context=None, **allclose_args):
+    """Deep equality (or allclose) of containers possibly holding arrays.
+    Ref ``testing.py:311`` (name kept for API parity; works on any
+    numpy/jax arrays)."""
+    from collections.abc import Mapping, Sequence
+
+    def _fail(ctx):
+        if print_error_context is not None:
+            print(f"Mismatch at {print_error_context}.{ctx}")
+        return False
+
+    if type(elem).__name__ != type(other).__name__ \
+            and not (hasattr(elem, "shape") and hasattr(other, "shape")):
+        return _fail(f"type {type(elem)} vs {type(other)}")
+    if hasattr(elem, "shape") or hasattr(other, "shape"):
+        a = np.asarray(elem)
+        b = np.asarray(other)
+        if a.shape != b.shape:
+            return _fail(f"shape {a.shape} vs {b.shape}")
+        if approximate:
+            return bool(np.allclose(a, b, **allclose_args)) or _fail("values")
+        return bool(np.array_equal(a, b)) or _fail("values")
+    if isinstance(elem, str):
+        return elem == other or _fail("str")
+    if isinstance(elem, Mapping):
+        if set(elem.keys()) != set(other.keys()):
+            return _fail("keys")
+        return all(contained_torch_equal(elem[k], other[k], approximate,
+                                         print_error_context, **allclose_args)
+                   for k in elem)
+    if isinstance(elem, Sequence):
+        if len(elem) != len(other):
+            return _fail("length")
+        return all(contained_torch_equal(a, b, approximate,
+                                         print_error_context, **allclose_args)
+                   for a, b in zip(elem, other))
+    if approximate and isinstance(elem, float):
+        return bool(np.isclose(elem, other, **allclose_args))
+    return elem == other or _fail("value")
+
+
+# array-native alias
+contained_equal = contained_torch_equal
+
+
+def check_tensor_attribute_shapes(container, throw=True, **attribute_info):
+    """Check shapes of named attributes of a container. Ref :417."""
+    from collections.abc import Mapping
+    result = True
+    for k, shape in attribute_info.items():
+        value = container[k] if isinstance(container, Mapping) \
+            else getattr(container, k)
+        if not check_tensor(value, shape=shape, throw=False):
+            result = False
+            msg = f"attribute {k} failed shape check {shape}, " \
+                  f"got {tuple(np.asarray(value).shape)}"
+            if throw:
+                raise ValueError(msg)
+            print(msg)
+    return result
+
+
+def file_contents_equal(file1, file2, exclude_pattern=None):
+    """Line-wise file comparison ignoring blank lines (and lines matching
+    exclude_pattern). Ref :398."""
+    def _get_lines(fname):
+        lines = [x.strip() for x in open(fname).readlines()
+                 if len(x.strip()) > 0]
+        if exclude_pattern is not None:
+            lines = [x for x in lines if exclude_pattern not in x]
+        return lines
+    return _get_lines(file1) == _get_lines(file2)
+
+
+def print_dict_attributes(in_dict, name="", prefix="", **tensor_info_kwargs):
+    """Print all attributes of a dict, with tensor details. Ref :452."""
+    from kaolin_tpu.utils.log import tensor_info
+    if name:
+        print(f"Attributes of {name}:")
+    for k, v in in_dict.items():
+        if hasattr(v, "shape"):
+            print(f"  {prefix}{tensor_info(v, name=k, **tensor_info_kwargs)}")
+        else:
+            print(f"  {prefix}{k}: ({type(v).__name__}) {v}")
+
+
+def print_namedtuple_attributes(ntuple, name="", prefix="",
+                                **tensor_info_kwargs):
+    """Ref :447."""
+    print_dict_attributes(ntuple._asdict(), name=name, prefix=prefix,
+                          **tensor_info_kwargs)

@@ -105,3 +105,44 @@ def test_import_synthetic_view(tmp_path):
     assert out["depth_linear"].shape == (8, 8)
     assert out["metadata"]["cam_proj"].shape == (3, 1)
     assert out["metadata"]["clipping_range"] == [0.01, 10000.0]
+
+
+def test_usd_preview_surface_round_trip(tmp_path):
+    import jax.numpy as jnp
+    from kaolin_tpu.io.utils import TextureExporter
+    from kaolin_tpu.render.materials import PBRMaterial
+    rng = np.random.RandomState(0)
+    mat = PBRMaterial(
+        material_name="m", diffuse_color=(0.8, 0.2, 0.1),
+        roughness_value=0.4, metallic_value=0.9,
+        diffuse_texture=jnp.asarray(rng.rand(4, 4, 3).astype(np.float32)))
+    f = str(tmp_path / "mat.usda")
+    stage = usd.create_stage(f)
+    usd.write_usd_preview_surface(mat, stage, "/World/Looks/m",
+                                  TextureExporter(str(tmp_path)))
+    stage.save()
+    back = usd.read_usd_preview_surface(f, texture_root=str(tmp_path))
+    np.testing.assert_allclose(np.asarray(back.diffuse_color),
+                               [0.8, 0.2, 0.1], atol=1e-5)
+    assert abs(back.roughness_value - 0.4) < 1e-6
+    assert abs(back.metallic_value - 0.9) < 1e-6
+    assert back.diffuse_texture.shape == (4, 4, 3)
+
+
+def test_usd_plurals_and_queries(tmp_path):
+    pcs = [np.random.RandomState(i).rand(10, 3).astype(np.float32)
+           for i in range(3)]
+    f = str(tmp_path / "pc.usda")
+    usd.export_pointclouds(f, pcs)
+    back, _ = usd.import_pointclouds(f)
+    assert len(back) == 3
+    np.testing.assert_allclose(np.asarray(back[1]), pcs[1], atol=1e-4)
+    assert len(usd.get_pointcloud_scene_paths(f)) == 3
+
+    vg = np.zeros((8, 8, 8), bool)
+    vg[2:5, 3:6, 1:4] = True
+    f2 = str(tmp_path / "vg.usda")
+    usd.export_voxelgrids(f2, [vg, vg])
+    back_vgs = usd.import_voxelgrids(f2)
+    assert len(back_vgs) == 2
+    assert np.array_equal(np.asarray(back_vgs[0]), vg)
