@@ -1,0 +1,89 @@
+"""Multi-chip sharding: shard_map ops on the 8-virtual-device CPU mesh must
+match their single-device equivalents exactly.
+
+Reference has NO distributed backend (SURVEY §2.4); these cover the TPU-side
+design: dp-sharded chamfer, skinning-MLP training step, scene-batch sim step,
+and multi-view DIB-R."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from kaolin_tpu.metrics.pointcloud import chamfer_distance
+from kaolin_tpu.parallel import (
+    sharded_chamfer_distance,
+    sharded_dibr_rasterization,
+    sharded_mlp_train_step,
+    sharded_scene_batch_step,
+)
+
+N_DEV = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devices = np.array(jax.devices()[:N_DEV])
+    assert len(devices) == N_DEV, "conftest must force 8 virtual devices"
+    return Mesh(devices, axis_names=("dp",))
+
+
+def test_sharded_chamfer_matches_local(mesh):
+    rng = np.random.RandomState(0)
+    p1 = jnp.asarray(rng.rand(N_DEV * 2, 64, 3).astype(np.float32))
+    p2 = jnp.asarray(rng.rand(N_DEV * 2, 96, 3).astype(np.float32))
+    sharding = NamedSharding(mesh, P("dp"))
+    out = sharded_chamfer_distance(mesh, jax.device_put(p1, sharding),
+                                   jax.device_put(p2, sharding))
+    want = chamfer_distance(p1, p2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-5)
+
+
+def test_sharded_mlp_train_step_runs(mesh):
+    from kaolin_tpu.physics.simplicits.network import mlp_init
+    key = jax.random.PRNGKey(0)
+    params = mlp_init(key, 3, 16, num_handles=5, num_layers=1)
+    batch = 8 * N_DEV
+    pts = jax.random.uniform(key, (batch, 3))
+    pts = jax.device_put(pts, NamedSharding(mesh, P("dp", None)))
+    new_params, loss = sharded_mlp_train_step(
+        mesh, params, pts, jnp.full((batch,), 1e4),
+        jnp.full((batch,), 0.45), jnp.full((batch,), 500.0),
+        appx_vol=1.0, key=key)
+    assert np.isfinite(float(loss))
+    # params actually updated
+    leaves_old = jax.tree_util.tree_leaves(params)
+    leaves_new = jax.tree_util.tree_leaves(new_params)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(leaves_old, leaves_new))
+
+
+def test_sharded_scene_batch_step_runs(mesh):
+    out = sharded_scene_batch_step(mesh, num_scenes=N_DEV, num_qp=32,
+                                   num_handles=3)
+    out_np = np.asarray(out)
+    assert out_np.shape[0] == N_DEV
+    assert np.isfinite(out_np).all()
+
+
+def test_sharded_dibr_matches_local(mesh):
+    from kaolin_tpu.render.mesh.dibr import dibr_rasterization
+    rng = np.random.RandomState(0)
+    B, F = N_DEV, 24
+    tri = rng.randn(B, F, 3, 3).astype(np.float32) * 0.2
+    fvz = jnp.asarray(tri[..., 2] - 2.0)
+    fvi = jnp.asarray(tri[..., :2])
+    feats = jnp.asarray(rng.rand(B, F, 3, 3).astype(np.float32))
+    nz = jnp.ones((B, F), jnp.float32)
+    sharding = NamedSharding(mesh, P("dp"))
+    img_s, soft_s, idx_s = sharded_dibr_rasterization(
+        mesh, 16, 16, jax.device_put(fvz, sharding),
+        jax.device_put(fvi, sharding), jax.device_put(feats, sharding),
+        jax.device_put(nz, sharding))
+    img_l, soft_l, idx_l = dibr_rasterization(16, 16, fvz, fvi, feats, nz)
+    np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_l),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(soft_s), np.asarray(soft_l),
+                               atol=1e-5)
+    assert np.array_equal(np.asarray(idx_s), np.asarray(idx_l))
