@@ -103,34 +103,45 @@ class UsdaStage:
         return prim
 
     def save(self):
+        """Write a properly NESTED prim tree: authored prims keep their type,
+        intermediate path segments become Xforms, children (e.g. GeomSubsets
+        under a Mesh) are emitted inside their parent's block."""
         lines = ["#usda 1.0",
                  f'(\n    upAxis = "{self.up_axis}"\n)', ""]
-        # group prims by hierarchy: create Xform parents implicitly
-        for path, prim in sorted(self.prims.items()):
-            parts = [p for p in path.split("/") if p]
-            indent = ""
-            for p in parts[:-1]:
-                lines.append(f'{indent}def Xform "{p}"')
+        # trie of path segments
+        tree = {}
+        for path in self.prims:
+            node = tree
+            for part in [p for p in path.split("/") if p]:
+                node = node.setdefault(part, {})
+
+        def emit(node, path_prefix, indent):
+            for part in sorted(node):
+                path = path_prefix + "/" + part
+                prim = self.prims.get(path)
+                prim_type = prim.prim_type if prim is not None else "Xform"
+                lines.append(f'{indent}def {prim_type} "{part}"')
                 lines.append(indent + "{")
-                indent += "    "
-            lines.append(f'{indent}def {prim.prim_type} "{parts[-1]}"')
-            lines.append(indent + "{")
-            inner = indent + "    "
-            for name, (usd_type, value) in prim.attrs.items():
-                if usd_type == "int":
-                    lines.append(f"{inner}{name} = {value}")
-                else:
-                    lines.append(f"{inner}{usd_type} {name} = {value}")
-            for name, (usd_type, samples) in prim.time_samples.items():
-                lines.append(f"{inner}{usd_type} {name}.timeSamples = {{")
-                for t in sorted(samples):
-                    lines.append(f"{inner}    {t}: {samples[t]},")
-                lines.append(f"{inner}}}")
-            lines.append(indent + "}")
-            for _ in parts[:-1]:
-                indent = indent[:-4]
+                inner = indent + "    "
+                if prim is not None:
+                    for name, (usd_type, value) in prim.attrs.items():
+                        if usd_type == "int":
+                            lines.append(f"{inner}{name} = {value}")
+                        else:
+                            lines.append(
+                                f"{inner}{usd_type} {name} = {value}")
+                    for name, (usd_type, samples) in \
+                            prim.time_samples.items():
+                        lines.append(
+                            f"{inner}{usd_type} {name}.timeSamples = {{")
+                        for t in sorted(samples):
+                            lines.append(f"{inner}    {t}: {samples[t]},")
+                        lines.append(f"{inner}}}")
+                emit(node[part], path, inner)
                 lines.append(indent + "}")
-            lines.append("")
+
+        emit(tree, "", "")
+        lines.append("")
         os.makedirs(os.path.dirname(os.path.abspath(self.file_path)),
                     exist_ok=True)
         with open(self.file_path, "w") as f:
@@ -203,34 +214,42 @@ def _parse_int_array(text):
 
 def _parse_usda(file_path):
     """Very small USDA parser: prim blocks with flat attributes and
-    timeSamples. Returns list of dicts."""
+    timeSamples. Returns a list of dicts with full hierarchy paths:
+    {"type", "name", "path", "parent", "body"} (body excludes nested
+    prims)."""
     with open(file_path) as f:
         src = f.read()
+
     prims = []
-    pos = 0
-    stack = []
-    while True:
-        m = _PRIM_RE.search(src, pos)
-        if not m:
-            break
-        prim_type, name = m.group(1), m.group(2)
-        start = src.index("{", m.end())
-        # find block end by brace matching
-        depth = 0
-        for j in range(start, len(src)):
-            if src[j] == "{":
-                depth += 1
-            elif src[j] == "}":
-                depth -= 1
-                if depth == 0:
-                    break
-        body_full = src[start + 1:j]
-        # cut nested prim definitions out of the body
-        nm = _PRIM_RE.search(body_full)
-        body = body_full[:nm.start()] if nm else body_full
-        prims.append({"type": prim_type, "name": name, "body": body})
-        pos = m.end()
-    return prims
+
+    def scan(segment, parent_path):
+        pos = 0
+        while True:
+            m = _PRIM_RE.search(segment, pos)
+            if not m:
+                break
+            prim_type, name = m.group(1), m.group(2)
+            start = segment.index("{", m.end())
+            depth = 0
+            j = start
+            for j in range(start, len(segment)):
+                if segment[j] == "{":
+                    depth += 1
+                elif segment[j] == "}":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            body_full = segment[start + 1:j]
+            nm = _PRIM_RE.search(body_full)
+            body = body_full[:nm.start()] if nm else body_full
+            path = parent_path + "/" + name
+            prims.append({"type": prim_type, "name": name, "path": path,
+                          "parent": parent_path or "/", "body": body})
+            scan(body_full, path)
+            pos = j + 1
+        return prims
+
+    return scan(src, "")
 
 
 def _extract_attr(body, name):
@@ -576,7 +595,7 @@ def get_scene_paths(file_path, scene_path_regex=None, prim_types=None):
     for prim in _parse_usda(file_path):
         if prim_types is not None and prim["type"] not in prim_types:
             continue
-        path = "/" + prim["name"]
+        path = prim["path"]
         if scene_path_regex is not None \
                 and re.search(scene_path_regex, path) is None:
             continue
@@ -806,3 +825,40 @@ __all__ += [
     "import_voxelgrids", "write_usd_preview_surface",
     "read_usd_preview_surface",
 ]
+
+
+# ---------------- GeomSubsets (ref usd/subset.py:26,125) ----------------
+
+def add_subset(stage, prim_path, name, indices, family_name="part",
+               element_type="face"):
+    """Author a UsdGeomSubset child of ``prim_path``. Ref :26."""
+    prim = stage._get_prim(f"{prim_path}/{name}", "GeomSubset")
+    prim.set_attr("elementType", "uniform token", f'"{element_type}"')
+    prim.set_attr("familyName", "uniform token", f'"{family_name}"')
+    prim.set_attr("indices", "int[]", _fmt_int_array(indices))
+    return prim
+
+
+def import_subsets(file_path, prim_path=None, family_name=None):
+    """GeomSubsets of a prim → (dict name → int indices, dict name →
+    family). Ref :125."""
+    import jax.numpy as _jnp
+    subsets = {}
+    families = {}
+    for prim in _parse_usda(file_path):
+        if prim["type"] != "GeomSubset":
+            continue
+        if prim_path is not None and prim["parent"] != prim_path:
+            continue
+        body = prim["body"]
+        fam = re.search(r'familyName\s*=\s*"([^"]*)"', body)
+        fam = fam.group(1) if fam else "part"
+        if family_name is not None and fam != family_name:
+            continue
+        m = re.search(r"indices\s*=\s*(\[[^\]]*\])", body)
+        subsets[prim["name"]] = _jnp.asarray(_parse_int_array(m.group(1)))
+        families[prim["name"]] = fam
+    return subsets, families
+
+
+__all__ += ["add_subset", "import_subsets"]

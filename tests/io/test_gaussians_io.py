@@ -146,3 +146,35 @@ def test_usd_plurals_and_queries(tmp_path):
     back_vgs = usd.import_voxelgrids(f2)
     assert len(back_vgs) == 2
     assert np.array_equal(np.asarray(back_vgs[0]), vg)
+
+
+def test_usd_geom_subsets_round_trip(tmp_path):
+    import jax.numpy as jnp
+    f = str(tmp_path / "subset.usda")
+    v = np.random.RandomState(0).rand(6, 3).astype(np.float32)
+    faces = np.array([[0, 1, 2], [2, 3, 4], [3, 4, 5], [1, 2, 3]], np.int32)
+    stage = usd.create_stage(f)
+    usd.add_mesh(stage, "/World/mesh", v, faces)
+    usd.add_subset(stage, "/World/mesh", "part_a", np.array([0, 2]),
+                   family_name="part")
+    usd.add_subset(stage, "/World/mesh", "mat_x", np.array([1, 3]),
+                   family_name="materialBind")
+    stage.save()
+
+    # the mesh still imports (subsets nested inside its block)
+    mesh = usd.import_mesh(f)
+    assert np.asarray(mesh.vertices).shape == (6, 3)
+    assert np.asarray(mesh.faces).shape == (4, 3)
+
+    subsets, families = usd.import_subsets(f, "/World/mesh")
+    assert np.asarray(subsets["part_a"]).tolist() == [0, 2]
+    assert np.asarray(subsets["mat_x"]).tolist() == [1, 3]
+    assert families == {"part_a": "part", "mat_x": "materialBind"}
+    only_mat, _ = usd.import_subsets(f, "/World/mesh",
+                                     family_name="materialBind")
+    assert list(only_mat) == ["mat_x"]
+
+    # scene paths reflect the hierarchy
+    assert usd.get_mesh_scene_paths(f) == ["/World/mesh"]
+    assert "/World/mesh/part_a" in usd.get_scene_paths(
+        f, prim_types="GeomSubset")
