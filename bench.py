@@ -112,11 +112,15 @@ def bench_dibr(height=512, width=512, num_iters=20):
         np.random.RandomState(0).rand(1, num_faces, 3, 3).astype(np.float32))
     nz = jnp.ones((1, num_faces), jnp.float32)
 
+    # tight per-tile face capacity computed once host-side (public knob)
+    from kaolin_tpu.render.mesh import suggest_tile_cap
+    tile_cap = suggest_tile_cap(fv_img, height, width)
+
     @jax.jit
     def step(fvi, feats):
         def loss(fvi, feats):
             img, sm, _ = dibr_rasterization(height, width, fv_z, fvi, feats,
-                                            nz)
+                                            nz, tile_cap=tile_cap)
             return jnp.sum(img ** 2) + jnp.sum(sm ** 2)
         return jax.value_and_grad(loss, argnums=(0, 1))(fvi, feats)
 

@@ -1,6 +1,9 @@
 from kaolin_tpu.render.mesh.deftet import deftet_sparse_render  # noqa: F401
 from kaolin_tpu.render.mesh.dibr import dibr_rasterization, dibr_soft_mask  # noqa: F401
-from kaolin_tpu.render.mesh.rasterization import rasterize  # noqa: F401
+from kaolin_tpu.render.mesh.rasterization import (  # noqa: F401
+    rasterize,
+    suggest_tile_cap,
+)
 from kaolin_tpu.render.mesh.utils import (  # noqa: F401
     prepare_vertices,
     spherical_harmonic_lighting,

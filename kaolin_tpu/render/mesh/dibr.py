@@ -190,19 +190,76 @@ def _soft_raw_bwd(sigmainv, boxlen, multiplier, height, width, tile_cfg,
 
     def per_tile(inp):
         pxi, pyi, fvi_i, alive_i, bmin_i, bmax_i, ga, ap = inp
+        px = pxi[:, None]
+        py = pyi[:, None]
+        verts = fvi_i[None]                 # (1, cap, 3, 2)
+        bad = 4.0 * multiplier * multiplier
 
-        def d2_fn(fv):
-            return _edge_vertex_sqdist(pxi[:, None], pyi[:, None], fv[None],
-                                       multiplier)
+        # recompute the 6 candidate distances, keeping edge intermediates
+        edge_data = []
+        cands = []
+        for i in range(3):
+            x1 = verts[..., i, 0]
+            y1 = verts[..., i, 1]
+            x2 = verts[..., (i + 1) % 3, 0]
+            y2 = verts[..., (i + 1) % 3, 1]
+            A = y2 - y1
+            B = x1 - x2
+            C = x2 * y1 - x1 * y2
+            up = A * px + B * py + C
+            down = A * A + B * B
+            inv_down = 1.0 / (down + _EPS)
+            x3 = (B * B * px - A * B * py - A * C) * inv_down
+            y3 = (A * A * py - A * B * px - B * C) * inv_down
+            direct = (x3 - x1) * (x3 - x2) + (y3 - y1) * (y3 - y2)
+            perp = up * up * inv_down
+            cands.append(jnp.where(direct > 0, bad, perp))
+            edge_data.append((x1, y1, x2, y2, A, B, up, inv_down))
+        for i in range(3):
+            x1 = verts[..., i, 0]
+            y1 = verts[..., i, 1]
+            cands.append((px - x1) ** 2 + (py - y1) ** 2)
+        stacked = jnp.stack(cands, axis=0)      # (6, P, cap)
+        d2 = jnp.min(stacked, axis=0)
+        # subgradient: split the cotangent equally among tied minima
+        # (matches jnp.min AD; grid-aligned meshes hit exact ties often)
+        num_ties = jnp.sum((stacked == d2[None]).astype(d2.dtype), axis=0)
 
-        d2, d2_vjp = jax.vjp(d2_fn, fvi_i)
         in_box = _in_box(pxi, pyi, bmin_i, bmax_i, alive_i)
         prob = jnp.where(in_box, jnp.exp(-k * d2), 0.0)
         # d allprob/d p_i = -allprob/(1-p_i); d p_i/d d2_i = -k p_i
         c = ga[:, None] * (ap[:, None] / jnp.clip(1.0 - prob, 1e-12, None)) \
             * k * prob
-        c = jnp.where(in_box, c, 0.0)
-        return d2_vjp(c)[0]                 # (cap, 3, 2)
+        c = jnp.where(in_box, c, 0.0) / num_ties
+
+        # analytic d(d2)/d(verts), pushed through the minimal branch(es);
+        # vertex j collects edge j's first-endpoint term, edge (j-1)'s
+        # second-endpoint term, and its own vertex-distance term — assembled
+        # by stacking (scatters are slow on TPU)
+        e_g = []
+        for i in range(3):
+            x1, y1, x2, y2, A, B, up, inv_down = edge_data[i]
+            ci = jnp.where(cands[i] == d2, c, 0.0)
+            d_val = up * up * inv_down
+            # ∂perp/∂θ = (2·up·∂up/∂θ − perp·∂down/∂θ) · inv_down
+            w = ci * inv_down
+            e_g.append((
+                jnp.sum(w * (2 * up * (py - y2) - d_val * (2 * B)), axis=0),
+                jnp.sum(w * (2 * up * (x2 - px) + d_val * (2 * A)), axis=0),
+                jnp.sum(w * (2 * up * (y1 - py) + d_val * (2 * B)), axis=0),
+                jnp.sum(w * (2 * up * (px - x1) - d_val * (2 * A)), axis=0),
+            ))
+        cols = []
+        for j in range(3):
+            x1 = verts[..., j, 0]
+            y1 = verts[..., j, 1]
+            cj = jnp.where(cands[3 + j] == d2, c, 0.0)
+            gx = e_g[j][0] + e_g[(j + 2) % 3][2] \
+                + jnp.sum(-2.0 * cj * (px - x1), axis=0)
+            gy = e_g[j][1] + e_g[(j + 2) % 3][3] \
+                + jnp.sum(-2.0 * cj * (py - y1), axis=0)
+            cols.append(jnp.stack([gx, gy], axis=-1))
+        return jnp.stack(cols, axis=1)       # (cap, 3, 2)
 
     grads_t = jax.lax.map(
         per_tile, (px_t, py_t, fvi_t, alive, bmin, bmax, g_allprob, allprob),
@@ -256,17 +313,23 @@ def dibr_soft_mask(face_vertices_image, selected_face_idx, sigmainv=7000,
 def dibr_rasterization(height, width, face_vertices_z, face_vertices_image,
                        face_features, face_normals_z, sigmainv=7000,
                        boxlen=0.02, knum=30, multiplier=None, eps=None,
-                       rast_backend=None):
+                       rast_backend=None, tile_px=32, tile_cap=None):
     """Full DIB-R: rasterize features + soft mask, culling back faces
     (``face_normals_z > 0`` are valid). Ref :119.
+
+    ``tile_cap`` bounds the per-image-tile face list of the binned backend
+    (default min(F, 512)); lowering it to the scene's true maximum overlap
+    cuts soft-mask cost proportionally.
 
     Returns (image_features, soft_mask (B, H, W), face_idx (B, H, W))."""
     valid_faces = face_normals_z >= 0.0
     image_features, face_idx = rasterize(
         height, width, face_vertices_z, face_vertices_image, face_features,
-        valid_faces=valid_faces, multiplier=multiplier, eps=eps)
+        valid_faces=valid_faces, multiplier=multiplier, eps=eps,
+        tile_px=tile_px, tile_cap=tile_cap)
     if multiplier is None:
         multiplier = 1000.0
     soft_mask = dibr_soft_mask(face_vertices_image, face_idx, sigmainv,
-                               boxlen, knum, multiplier)
+                               boxlen, knum, multiplier, tile_px=tile_px,
+                               tile_cap=tile_cap)
     return image_features, soft_mask, face_idx

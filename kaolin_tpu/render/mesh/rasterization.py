@@ -19,8 +19,9 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["rasterize"]
+__all__ = ["rasterize", "suggest_tile_cap"]
 
 DEFAULT_MULTIPLIER = 1000
 DEFAULT_EPS = 1e-8
@@ -142,6 +143,31 @@ def bin_faces_to_tiles(face_vertices_image, valid_mask, height, width,
                              constant_values=-1)
     overflow = jnp.sum(overlap, axis=1) > cap
     return tile_faces, overflow
+
+
+def suggest_tile_cap(face_vertices_image, height, width, multiplier=None,
+                     tile_px=32, boxlen=0.02, headroom=1.25):
+    """Exact per-tile face capacity for the binned backends: the maximum
+    number of faces whose boxlen-enlarged bbox overlaps any image tile,
+    times ``headroom``, rounded up to a multiple of 64. Compute this once
+    host-side and pass as ``tile_cap`` to :func:`rasterize` /
+    ``dibr_soft_mask`` inside a jitted optimization loop — soft-mask cost
+    scales linearly with the capacity, so a tight bound is much faster than
+    the safe default of 512."""
+    if multiplier is None:
+        multiplier = DEFAULT_MULTIPLIER
+    fvi = jnp.asarray(face_vertices_image)
+    if fvi.ndim == 4:
+        fvi = fvi.reshape(-1, 3, 2)
+    f = fvi.shape[0]
+    scaled = fvi * multiplier
+    margin = boxlen * multiplier
+    tile_faces, _ = bin_faces_to_tiles(scaled, jnp.ones((f,), bool), height,
+                                       width, multiplier, tile_px, f,
+                                       margin=margin)
+    max_overlap = int(jnp.max(jnp.sum(tile_faces >= 0, axis=1)))
+    cap = int(np.ceil(max_overlap * headroom / 64.0)) * 64
+    return max(64, min(f, cap))
 
 
 @functools.partial(jax.jit,
