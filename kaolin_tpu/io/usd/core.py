@@ -862,3 +862,150 @@ def import_subsets(file_path, prim_path=None, family_name=None):
 
 
 __all__ += ["add_subset", "import_subsets"]
+
+
+# -------- remaining reference usd API (utils/materials/physics queries) -----
+
+def set_local_to_world_transform(stage, scene_path, transform, time=None):
+    """Author xformOp:transform on a prim. Ref ``usd/utils.py:30``."""
+    prim = stage.prims.get(scene_path)
+    if prim is None:
+        prim = stage._get_prim(scene_path, "Xform")
+    mat = np.asarray(transform, dtype=np.float64)
+    rows = ", ".join("(" + ", ".join(f"{x:g}" for x in r) + ")" for r in mat)
+    prim.set_attr("xformOp:transform", "matrix4d", f"( {rows} )", time)
+    return prim
+
+
+def get_local_to_world_transform(file_path, scene_path, time=None):
+    """Read a prim's local-to-world matrix (identity if unauthored; this
+    backend authors flat transforms). Ref ``usd/utils.py:77``."""
+    name = scene_path.split("/")[-1]
+    for prim in _parse_usda(file_path):
+        if prim["name"] != name and prim["path"] != scene_path:
+            continue
+        m = re.search(r"xformOp:transform\s*=\s*\(\s*(\(.*\))\s*\)",
+                      prim["body"], re.DOTALL)
+        if not m:
+            return jnp.eye(4)
+        vals = _parse_vec_array(m.group(1), per=4)
+        return jnp.asarray(vals.reshape(4, 4))
+    return jnp.eye(4)
+
+
+def export_material(pbr_material, file_path,
+                    scene_path="/World/Looks/material", texture_dir=None):
+    """Write a PBRMaterial as a UsdPreviewSurface USDA. Ref
+    ``usd/materials.py:85``."""
+    import os as _os
+
+    from kaolin_tpu.io.utils import TextureExporter
+    stage = create_stage(file_path)
+    exporter = TextureExporter(
+        texture_dir or _os.path.dirname(_os.path.abspath(file_path)))
+    write_usd_preview_surface(pbr_material, stage, scene_path, exporter)
+    stage.save()
+
+
+def import_material(file_path, scene_path=None, time=None):
+    """Read a UsdPreviewSurface material → PBRMaterial. Ref
+    ``usd/materials.py:46``."""
+    return read_usd_preview_surface(file_path, scene_path, time)
+
+
+def get_mesh_prim_materials(file_path, scene_path=None, time=None):
+    """Materials bound to a mesh's GeomSubsets (family 'materialBind') →
+    dict subset name → PBRMaterial (parsed from Shader prims in the same
+    file). Ref ``usd/materials.py:200``."""
+    out = {}
+    subsets, families = import_subsets(file_path, scene_path)
+    for name, fam in families.items():
+        if fam != "materialBind":
+            continue
+        try:
+            out[name] = read_usd_preview_surface(file_path)
+        except ValueError:
+            out[name] = None
+    return out
+
+
+def get_raw_mesh_prim_geometry(file_path, scene_path=None, time=None,
+                               with_normals=False, with_uvs=False):
+    """Raw (un-triangulated) mesh arrays: points, faceVertexCounts,
+    faceVertexIndices (+ normals/uvs when present). Ref ``usd/mesh.py:102``."""
+    for prim in _parse_usda(file_path):
+        if prim["type"] != "Mesh":
+            continue
+        if scene_path is not None and prim["path"] != scene_path \
+                and prim["name"] != scene_path.split("/")[-1]:
+            continue
+        body = prim["body"]
+
+        def pick(name, parser, per=3):
+            default, samples = _extract_attr(body, name)
+            if time is not None and samples:
+                key = min(samples, key=lambda t: abs(t - time))
+                text = samples[key]
+            else:
+                text = default or next(iter(samples.values()), None)
+            if text is None:
+                return None
+            return parser(text) if parser is _parse_int_array \
+                else parser(text, per)
+
+        out = {
+            "points": jnp.asarray(pick("points", _parse_vec_array)),
+            "face_vertex_counts": jnp.asarray(
+                pick("faceVertexCounts", _parse_int_array)),
+            "face_vertex_indices": jnp.asarray(
+                pick("faceVertexIndices", _parse_int_array)),
+        }
+        if with_normals:
+            n = pick("normals", _parse_vec_array)
+            out["normals"] = jnp.asarray(n) if n is not None else None
+        if with_uvs:
+            u = pick("primvars:st", _parse_vec_array, per=2)
+            out["uvs"] = jnp.asarray(u) if u is not None else None
+        return out
+    raise ValueError(f"no Mesh prim in {file_path}")
+
+
+def _physics_instance_names(file_path, needle):
+    names = set()
+    for prim in _parse_usda(file_path):
+        for m in re.finditer(
+                r"kaolin_physics_material:([\w\-]+):" + needle,
+                prim["body"]):
+            names.add(m.group(1))
+    return sorted(names)
+
+
+def get_physics_materials_instance_names(file_path, scene_path=None):
+    """Ref ``usd/physics_materials.py:311``."""
+    return _physics_instance_names(file_path, "pts")
+
+
+def get_skinned_physics_instance_names(file_path, scene_path=None):
+    """Ref :334."""
+    return _physics_instance_names(file_path, "skinning_weights")
+
+
+def get_all_physics_materials(file_path, scene_path=None, time=None):
+    """dict instance name → PhysicsPoints. Ref :358."""
+    return {name: get_physics_material(file_path, scene_path, name)
+            for name in get_physics_materials_instance_names(file_path)}
+
+
+def get_all_skinned_physics(file_path, scene_path=None, time=None):
+    """dict instance name → SkinnedPhysicsPoints. Ref :391."""
+    return {name: get_skinned_physics(file_path, scene_path, name)
+            for name in get_skinned_physics_instance_names(file_path)}
+
+
+__all__ += [
+    "set_local_to_world_transform", "get_local_to_world_transform",
+    "export_material", "import_material", "get_mesh_prim_materials",
+    "get_raw_mesh_prim_geometry", "get_physics_materials_instance_names",
+    "get_skinned_physics_instance_names", "get_all_physics_materials",
+    "get_all_skinned_physics",
+]

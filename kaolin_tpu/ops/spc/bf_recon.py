@@ -675,3 +675,11 @@ def bf_recon(input_dataset, final_level, sigma):
                 spc0["normals"])
     except BFReconstructionTerminatedException:
         return None, None, None, None
+
+
+# reference camelCase aliases (bf_recon.py:27,129,232)
+processFrame = process_frame
+fuseBF = fuse_bf
+extractBQ = extract_bq
+
+from kaolin_tpu.ops.spc.exsum_compat import ensure_current_exsum  # noqa: F401,E402

@@ -32,3 +32,28 @@ def tensor_info(t, name="tensor", print_stats=False, detailed=False):
 def log_tensor(t, name="tensor", logger=None, level=logging.INFO, **kwargs):
     """Log a tensor description. Ref :79."""
     (logger or logging.getLogger()).log(level, tensor_info(t, name, **kwargs))
+
+
+def add_log_level_flag(parser):
+    """Add a ``--log_level`` argparse flag (int or name). Ref ``log.py``
+    (add_log_level_flag)."""
+    parser.add_argument(
+        "--log_level", type=_str2loglevel, default=logging.INFO,
+        help="Logging level: 10 (DEBUG), 20 (INFO), 30 (WARN), 40 (ERROR), "
+             "or a level name.")
+    return parser
+
+
+def _str2loglevel(value):
+    try:
+        return int(value)
+    except ValueError:
+        level = getattr(logging, str(value).upper(), None)
+        if level is None:
+            raise ValueError(f"unknown log level {value!r}")
+        return level
+
+
+def print_tensor(t, name="tensor", **kwargs):
+    """Print a tensor description (see :func:`tensor_info`). Ref (print_tensor)."""
+    print(tensor_info(t, name, **kwargs))
