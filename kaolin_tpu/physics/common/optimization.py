@@ -34,34 +34,43 @@ def _apply_bounds(direction, bounds, t, qr_tfm, qr_tfm_inv):
 def _line_search(energy_red_fn, x, direction, gradient, bounds,
                  alpha, beta, max_steps, qr_tfm, qr_tfm_inv):
     """Backtracking Armijo line search (ref _line_search :89). Returns the
-    bounded update (direction scaled by the accepted step)."""
+    bounded update (direction scaled by the accepted step).
+
+    TPU formulation: the sequential search only ever visits step sizes on the
+    grid t = β^k (grow by 1/β while sufficient, shrink by β otherwise), so
+    ALL candidate energies are evaluated in ONE vmapped batch and the
+    grow/shrink/accept automaton is replayed over the precomputed
+    sufficiency bits with a cheap scalar scan — max_steps sequential energy
+    evaluations collapse into a single fused one."""
     f = energy_red_fn(x)
-    gd = lambda b: gradient @ b  # noqa: E731
 
-    def cond(state):
-        i, t, can_break, done, bounded = state
-        return (i < max_steps) & jnp.logical_not(done)
+    # step grid exactly as the sequential multiply/divide chain produces it:
+    # index m = t=1; indices m-1..0 grow (÷β each); m+1..2m shrink (×β each)
+    m = max_steps
+    dtype = x.dtype
+    grow = jnp.cumprod(jnp.full((m,), 1.0 / beta, dtype=dtype))[::-1]
+    shrink = jnp.cumprod(jnp.full((m,), beta, dtype=dtype))
+    ts = jnp.concatenate([grow, jnp.ones((1,), dtype=dtype), shrink])
 
-    def body(state):
-        i, t, can_break, done, bounded = state
-        f_new = energy_red_fn(x + bounded)
-        sufficient = f_new <= f + alpha * gd(bounded)
-        # accept & stop if we already had one sufficient step
-        done_new = sufficient & can_break
-        # sufficient but first time: grow step; insufficient: shrink
-        t_new = jnp.where(sufficient, t / beta, t * beta)
-        can_break_new = can_break | sufficient
-        bounded_new = _apply_bounds(direction, bounds, t_new, qr_tfm, qr_tfm_inv)
-        # if done, keep the accepted bounded step
-        bounded_out = jnp.where(done_new, bounded, bounded_new)
-        t_out = jnp.where(done_new, t, t_new)
-        return (i + 1, t_out, can_break_new, done_new, bounded_out)
+    bounded_k = jax.vmap(
+        lambda t: _apply_bounds(direction, bounds, t, qr_tfm, qr_tfm_inv))(ts)
+    f_k = jax.vmap(lambda b: energy_red_fn(x + b))(bounded_k)
+    suff = f_k <= f + alpha * (bounded_k @ gradient)
 
-    t0 = jnp.asarray(1.0, dtype=x.dtype)
-    bounded0 = _apply_bounds(direction, bounds, t0, qr_tfm, qr_tfm_inv)
-    state = (jnp.asarray(0), t0, jnp.asarray(False), jnp.asarray(False), bounded0)
-    _, _, _, _, bounded = jax.lax.while_loop(cond, body, state)
-    return bounded
+    def body(state, _):
+        idx, can_break, done, acc_idx = state
+        s = suff[idx]
+        done_new = s & can_break & ~done
+        acc_idx = jnp.where(done_new, idx, acc_idx)
+        idx_next = jnp.clip(jnp.where(s, idx - 1, idx + 1), 0, 2 * m)
+        idx = jnp.where(done | done_new, idx, idx_next)
+        return (idx, can_break | s, done | done_new, acc_idx), None
+
+    init = (jnp.asarray(m), jnp.asarray(False), jnp.asarray(False),
+            jnp.asarray(m))
+    (idx, _, done, acc_idx), _ = jax.lax.scan(body, init, None, length=m)
+    final = jnp.where(done, acc_idx, idx)
+    return bounded_k[final]
 
 
 def newtons_method(x,
