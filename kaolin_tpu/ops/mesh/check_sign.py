@@ -64,14 +64,19 @@ def _unbatched_check_sign(verts, faces, points, tile=_TILE):
     return (count % 2) == 1
 
 
-def check_sign(verts, faces, points, hash_resolution=512):
+def check_sign(verts, faces, points, hash_resolution=512, backend=None):
     """True for points inside a watertight mesh.
 
     Args:
         verts: (B, V, 3).
         faces: (F, 3) int.
         points: (B, N, 3).
-        hash_resolution: unused (reference CPU-path knob, kept for API parity).
+        hash_resolution: grid size of the native TriangleHash backend (the
+            reference CPU-path knob).
+        backend: None (XLA, jittable) or "native" — the C++ TriangleHash
+            host path (ref ``csrc/ops/mesh/triangle_hash.cpp``), fastest for
+            eager host-side queries; falls back to XLA if the native library
+            is unavailable.
 
     Returns:
         bool array (B, N). Ref ``check_sign.py:59``.
@@ -82,4 +87,15 @@ def check_sign(verts, faces, points, hash_resolution=512):
     maxlen = jnp.max(extent, axis=-1)[:, None, None]
     verts = verts / maxlen
     points = points / maxlen
+    if backend == "native":
+        import numpy as np
+
+        from kaolin_tpu import native
+        if native.is_available():
+            faces_np = np.asarray(faces)
+            out = [native.check_sign_cpu(np.asarray(v), faces_np,
+                                         np.asarray(p),
+                                         resolution=min(hash_resolution, 1024))
+                   for v, p in zip(verts, points)]
+            return jnp.asarray(np.stack(out))
     return jax.vmap(lambda v, p: _unbatched_check_sign(v, faces, p))(verts, points)

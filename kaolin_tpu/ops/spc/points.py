@@ -81,10 +81,16 @@ def morton_to_points(morton):
 
 
 def unbatched_points_to_octree(points, level, sorted=False):
-    """Quantized points at ``level`` → byte-packed octree (host-side).
+    """Quantized points at ``level`` → byte-packed octree (host-side; the
+    native C++ builder when available, numpy otherwise).
     Ref :53 (CUDA ``points_to_octree``)."""
     pts = np.asarray(points).astype(np.int64)
     if not sorted:
+        from kaolin_tpu import native
+        oc = native.points_to_octree(pts, int(level)) \
+            if native.is_available() else None
+        if oc is not None:
+            return jnp.asarray(oc)
         m = np.unique(_morton_np(pts))
     else:
         m = _morton_np(pts)
