@@ -13,6 +13,8 @@ from kaolin_tpu.parallel.ops import (  # noqa: F401
     sharded_dibr_rasterization,
 )
 from kaolin_tpu.parallel.simplicits import (  # noqa: F401
+    make_demo_scene,
     sharded_mlp_train_step,
     sharded_scene_batch_step,
+    stack_scenes,
 )

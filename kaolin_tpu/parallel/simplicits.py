@@ -56,96 +56,107 @@ def sharded_mlp_train_step(mesh, params, pts, yms, prs, rhos, appx_vol, key,
     return jax.jit(step)(params, pts, yms, prs, rhos, key)
 
 
-def _mini_scene_constants(num_qp, num_handles, seed):
-    """Tiny synthetic scene constants (analytic weight field)."""
-    from kaolin_tpu.physics.simplicits.precomputed import dFdz_matrix, lbs_matrix
+def make_demo_scene(seed, num_qp=32, num_handles=3, dt=0.03,
+                    with_collision=True, with_kinematic=True,
+                    kinematic_qp=16, max_contact_pairs=64):
+    """Build a REAL :class:`SimplicitsScene` for scene-batch parallelism
+    demos/tests: one dynamic soft body (QR-conditioned, analytic skinning
+    field standing in for a trained MLP) dropping under gravity onto a floor,
+    optionally colliding with a kinematic plate object.
+
+    Every scene built with the same structural arguments (counts/flags) has
+    an identical functional-step pytree structure, so a list of them can be
+    stacked and vmapped/sharded (ref behavior: simulation.py:1346 per scene).
+    """
+    from kaolin_tpu.physics.simplicits import (SimplicitsScene,
+                                               SkinnedPhysicsPoints)
+
     rng = np.random.RandomState(seed)
     pts = rng.uniform(-0.5, 0.5, (num_qp, 3)).astype(np.float32)
     freqs = rng.randn(3, num_handles - 1).astype(np.float32)
-    w = np.concatenate([np.sin(pts @ freqs),
-                        np.ones((num_qp, 1), np.float32)], axis=1)
+    w = np.concatenate([np.sin(pts @ freqs), np.ones((num_qp, 1), np.float32)],
+                       axis=1).astype(np.float32)
     dwdx = np.zeros((num_qp, num_handles, 3), dtype=np.float32)
-    dwdx[:, :-1, :] = np.transpose(
-        np.cos(pts @ freqs)[:, :, None] * freqs.T[None], (0, 1, 2))
-    B = np.asarray(lbs_matrix(jnp.asarray(pts), jnp.asarray(w)))
-    dFdz = np.asarray(dFdz_matrix(jnp.asarray(w), jnp.asarray(dwdx),
-                                  jnp.asarray(pts)))
-    masses = np.full((num_qp,), 500.0 / num_qp, dtype=np.float32)
-    BMB = B.T @ (np.repeat(masses, 3)[:, None] * B)
-    vols = np.full((num_qp,), 1.0 / num_qp, dtype=np.float32)
-    return dict(pts=pts, B=B, dFdz=dFdz, BMB=BMB, vols=vols, masses=masses)
+    dwdx[:, :-1, :] = np.cos(pts @ freqs)[:, :, None] * freqs.T[None]
+    soft = SkinnedPhysicsPoints(pts=pts, yms=1e4, prs=0.45, rhos=500.0,
+                                appx_vol=1.0, skinning_weights=w, dwdx=dwdx)
+
+    scene = SimplicitsScene(timestep=dt, max_newton_steps=3, max_ls_steps=5)
+    scene.add_object(soft, apply_qr=True, normalize_weights_by_samples=True)
+
+    if with_kinematic:
+        # rigid plate below the soft body: one constant handle, kinematic
+        side = int(np.ceil(np.sqrt(kinematic_qp)))
+        gx, gz = np.meshgrid(np.linspace(-0.6, 0.6, side),
+                             np.linspace(-0.6, 0.6, side))
+        kpts = np.stack([gx.ravel(), np.full(side * side, -0.85),
+                         gz.ravel()], axis=1)[:kinematic_qp].astype(np.float32)
+        kin = SkinnedPhysicsPoints(
+            pts=kpts, yms=1e5, prs=0.45, rhos=1000.0, appx_vol=0.1,
+            skinning_weights=np.ones((kinematic_qp, 1), np.float32),
+            dwdx=np.zeros((kinematic_qp, 1, 3), np.float32))
+        scene.add_object(kin, is_kinematic=True, apply_qr=False,
+                         normalize_weights_by_samples=False)
+
+    scene.set_scene_gravity(jnp.asarray([0.0, 9.8, 0.0]))
+    scene.set_scene_floor(floor_height=-1.0)
+    if with_collision:
+        scene.enable_collisions(collision_particle_radius=0.15,
+                                max_contact_pairs=max_contact_pairs)
+    return scene
 
 
-def _functional_sim_step(consts, z, z_prev, z_dot, dt=0.03, newton_iters=3):
-    """Minimal gravity+floor+neohookean implicit step over one scene's
-    constants — the vmappable core used for scene-parallel batching."""
-    from kaolin_tpu.physics.common.optimization import newtons_method
-    from kaolin_tpu.physics.materials.neohookean_elastic_material import (
-        neohookean_energy, neohookean_gradient, neohookean_hessian)
-    from kaolin_tpu.physics.utils.torch_utilities import hess_reduction
+def stack_scenes(scenes):
+    """Stack the functional-step constants of structurally identical scenes.
 
-    B, dFdz, BMB = consts["B"], consts["dFdz"], consts["BMB"]
-    pts, vols, masses = consts["pts"], consts["vols"], consts["masses"]
-    mu = jnp.full((pts.shape[0], 1), 1e4 / 2.9)
-    lam = jnp.full((pts.shape[0], 1), 1e4 * 0.45 / (1.45 * 0.1)) + mu
-    g = jnp.asarray([0.0, 9.8, 0.0])
-    floor_h, floor_pen = -1.0, 10000.0
-    eye3 = jnp.eye(3)
-
-    def pe(z_):
-        dx = (B @ z_).reshape(-1, 3)
-        F = (dFdz @ z_).reshape(-1, 3, 3) + eye3
-        grav = jnp.sum((dx + pts) @ g * masses)
-        p = (dx + pts)[:, 1] - floor_h
-        floor = floor_pen * jnp.sum(jnp.where(p < 0, p ** 2, 0.0))
-        elast = jnp.sum(neohookean_energy(mu, lam, F, vols[:, None]))
-        return grav + floor + elast
-
-    def energy(z_):
-        delta = z_ - z_prev - dt * z_dot
-        return 0.5 * delta @ (BMB @ delta) + dt * dt * pe(z_)
-
-    def grad(z_):
-        delta = z_ - z_prev - dt * z_dot
-        return BMB @ delta + dt * dt * jax.grad(pe)(z_)
-
-    def hess(z_):
-        dx = (B @ z_).reshape(-1, 3)
-        F = (dFdz @ z_).reshape(-1, 3, 3) + eye3
-        p = (dx + pts)[:, 1] - floor_h
-        h_floor = jnp.zeros((pts.shape[0], 3, 3)).at[:, 1, 1].set(
-            jnp.where(p < 0, 2.0 * floor_pen, 0.0))
-        h_mat = neohookean_hessian(mu, lam, F, vols[:, None])
-        H = hess_reduction(B, h_floor) + hess_reduction(dFdz, h_mat)
-        return BMB + dt * dt * H + 1e-4 * jnp.eye(B.shape[1])
-
-    z_new = newtons_method(z, energy, grad, hess, nm_max_iters=newton_iters,
-                           max_ls_steps=5)
-    return z_new, (z_new - z) / dt
+    Returns ``(step_fn, stacked_consts, (z, z_prev, z_dot))`` where
+    ``step_fn`` is the REAL per-scene step from
+    :meth:`SimplicitsScene.build_functional_step` and every leaf of
+    ``stacked_consts`` / state gains a leading scene axis.
+    """
+    pairs = [s.build_functional_step() for s in scenes]
+    step = pairs[0][0]
+    consts = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+        *[c for _, c in pairs])
+    z = jnp.stack([s.sim_z for s in scenes])
+    z_prev = jnp.stack([s.sim_z_prev for s in scenes])
+    z_dot = jnp.stack([s.sim_z_dot for s in scenes])
+    return step, consts, (z, z_prev, z_dot)
 
 
-def sharded_scene_batch_step(mesh, num_scenes, num_qp=32, num_handles=3,
-                             dt=0.03):
-    """Run one sim step for ``num_scenes`` independent scenes, scene axis
-    sharded over the mesh's 'dp' axis. Returns the (num_scenes, D) new DOFs."""
-    consts = [_mini_scene_constants(num_qp, num_handles, seed=s)
-              for s in range(num_scenes)]
-    stacked = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *consts)
-    d = 12 * num_handles
-    z = jnp.zeros((num_scenes, d))
-    z_prev = jnp.zeros_like(z)
-    z_dot = jnp.zeros_like(z)
+def sharded_scene_batch_step(mesh, scenes, state=None, axis_name="dp"):
+    """One implicit time step for a batch of REAL independent scenes, scene
+    axis sharded over the mesh. The per-device computation is the full
+    product simulator (collisions, kinematic DOFs, QR basis, Newton + Armijo
+    — the same ``build_functional_step`` used by ``run_sim_step``), vmapped
+    over the local scene shard; scenes never communicate.
 
-    sharding = NamedSharding(mesh, P("dp"))
-    stacked = jax.device_put(stacked, NamedSharding(mesh, P("dp")))
-    z = jax.device_put(z, sharding)
-    z_prev = jax.device_put(z_prev, sharding)
-    z_dot = jax.device_put(z_dot, sharding)
+    Args:
+        mesh: a ``jax.sharding.Mesh`` with axis ``axis_name``.
+        scenes: list of structurally identical ``SimplicitsScene``s (length
+            divisible by the mesh axis size).
+        state: optional ``(z, z_prev, z_dot)`` stacked batch state; defaults
+            to the scenes' current state.
+
+    Returns:
+        ``(z, z_prev, z_dot)`` stacked new state, sharded over the mesh.
+    """
+    step, consts, init_state = stack_scenes(scenes)
+    if state is None:
+        state = init_state
+
+    spec = P(axis_name)
+    sharding = NamedSharding(mesh, spec)
+    consts = jax.device_put(consts, sharding)
+    state = jax.device_put(state, sharding)
 
     @jax.jit
-    def batch_step(c, z_, zp, zd):
-        step = functools.partial(_functional_sim_step, dt=dt)
-        return jax.vmap(step)(c, z_, zp, zd)[0]
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(spec, (spec, spec, spec)),
+                       out_specs=(spec, spec, spec),
+                       check_vma=False)
+    def batch_step(c, st):
+        return jax.vmap(step)(c, *st)
 
-    return batch_step(stacked, z, z_prev, z_dot)
+    return batch_step(consts, state)

@@ -38,8 +38,13 @@ class Contacts(NamedTuple):
     dx0: jnp.ndarray            # (N, 3) displacements at start of timestep
 
 
+@jax.tree_util.register_pytree_node_class
 class Collision:
-    """Scene-wide particle contact. Ref :578."""
+    """Scene-wide particle contact. Ref :578.
+
+    Pytree: the float parameters are children (so scene batches may vary
+    them); ``max_contacts`` (a buffer capacity) and ``bounds`` are static aux.
+    """
 
     def __init__(self, dt, collision_particle_radius=0.1, detection_ratio=1.5,
                  impenetrable_barrier_ratio=0.5,
@@ -58,6 +63,25 @@ class Collision:
         self.friction = float(friction)
         self.max_contacts = int(max_contacting_pairs)
         self.bounds = bounds
+
+    def tree_flatten(self):
+        children = (self.dt, self.collision_radius,
+                    self.collision_detection_ratio,
+                    self.collision_barrier_ratio,
+                    self.ignore_self_collision_ratio,
+                    self.collision_penalty_stiffness,
+                    self.friction_reg, self.friction_fluid, self.friction)
+        return children, (self.max_contacts, self.bounds)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        (obj.dt, obj.collision_radius, obj.collision_detection_ratio,
+         obj.collision_barrier_ratio, obj.ignore_self_collision_ratio,
+         obj.collision_penalty_stiffness, obj.friction_reg,
+         obj.friction_fluid, obj.friction) = children
+        obj.max_contacts, obj.bounds = aux
+        return obj
 
     # -- detection (ref :643) --
     def detect_collisions(self, cp_dx, cp_x0, cp_obj_ids, cp_is_static=None):

@@ -8,6 +8,7 @@ points — fully batched jnp that XLA fuses into the Newton assembly instead of
 per-point Warp kernels with atomics.
 """
 
+import jax
 import jax.numpy as jnp
 
 __all__ = [
@@ -72,13 +73,28 @@ def boundary_hessian(pin_pos, pin_mask, dx, x0):
     return 2.0 * pin_mask[:, None, None] * eye
 
 
+@jax.tree_util.register_pytree_node_class
 class Gravity:
-    """Gravity force over all quadrature points. Ref :381."""
+    """Gravity force over all quadrature points. Ref :381.
+
+    Registered as a pytree (array params are children) so force objects can
+    live inside the scene-constants pytree of the functional sim step and be
+    vmapped/sharded across scene batches.
+    """
 
     def __init__(self, g, integration_pt_density, integration_pt_volume):
         self.g = jnp.asarray(g)
         self.rho = integration_pt_density.reshape(-1)
         self.vol = integration_pt_volume.reshape(-1)
+
+    def tree_flatten(self):
+        return (self.g, self.rho, self.vol), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.g, obj.rho, obj.vol = children
+        return obj
 
     def energy(self, dx, x0, coeff=1.0):
         return coeff * gravity_energy(self.g, self.rho, self.vol, dx, x0)
@@ -91,14 +107,27 @@ class Gravity:
         return jnp.zeros(dx.shape[:1] + (3, 3), dtype=dx.dtype)
 
 
+@jax.tree_util.register_pytree_node_class
 class Floor:
-    """One-sided floor penalty. Ref :477."""
+    """One-sided floor penalty. Ref :477. Pytree: height/vol are children
+    (may vary per scene in a batch); axis and flip are static aux."""
 
     def __init__(self, floor_height, floor_axis, flip_floor, integration_pt_volume):
         self.floor_height = float(floor_height)
         self.floor_axis = int(floor_axis)
         self.flip_floor = bool(flip_floor)
         self.vol = integration_pt_volume.reshape(-1)
+
+    def tree_flatten(self):
+        return ((self.floor_height, self.vol),
+                (self.floor_axis, self.flip_floor))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.floor_height, obj.vol = children
+        obj.floor_axis, obj.flip_floor = aux
+        return obj
 
     def energy(self, dx, x0, coeff=1.0):
         return coeff * floor_energy(self.floor_height, self.floor_axis,
@@ -113,6 +142,7 @@ class Floor:
                                      self.flip_floor, self.vol, dx, x0)
 
 
+@jax.tree_util.register_pytree_node_class
 class Boundary:
     """Pin selected points to fixed positions. Ref :595.
 
@@ -131,6 +161,15 @@ class Boundary:
         self.pin_mask = self.pin_mask.at[indices].set(1.0)
         self.pin_pos = self.pin_pos.at[indices].set(pinned_x)
         return self
+
+    def tree_flatten(self):
+        return (self.pin_mask, self.pin_pos), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.pin_mask, obj.pin_pos = children
+        return obj
 
     def energy(self, dx, x0, coeff=1.0):
         return coeff * boundary_energy(self.pin_pos, self.pin_mask, dx, x0)

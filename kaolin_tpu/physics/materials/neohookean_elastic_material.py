@@ -9,6 +9,7 @@ Energy: ``W = mu/2 (I1 − 3) + lam/2 (J − 1)² − mu (J − 1)``, per point 
 by integration volume.
 """
 
+import jax
 import jax.numpy as jnp
 
 __all__ = [
@@ -73,6 +74,7 @@ def neohookean_hessian(mu, lam, defo_grad, vol=None):
     return H
 
 
+@jax.tree_util.register_pytree_node_class
 class NeohookeanElasticMaterial:
     """Defo-grad-wise force object for scene assembly, mirroring the
     reference class (ref :221): bundles per-point Lamé params and volumes.
@@ -80,6 +82,9 @@ class NeohookeanElasticMaterial:
     With ``reparameterize_lame=True``, uses the Stable-NH reparameterization
     lam' = lam + mu (ref :239) so the linearized energy matches linear
     elasticity.
+
+    Registered as a pytree (mu/lam/vol are children) so it can live in the
+    scene-constants pytree of the functional sim step.
     """
 
     def __init__(self, mu, lam, integration_pt_volume, reparameterize_lame=False):
@@ -88,6 +93,15 @@ class NeohookeanElasticMaterial:
         self.mu = mu.reshape(-1, 1)
         self.lam = lam.reshape(-1, 1)
         self.vol = integration_pt_volume.reshape(-1, 1)
+
+    def tree_flatten(self):
+        return (self.mu, self.lam, self.vol), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.mu, obj.lam, obj.vol = children
+        return obj
 
     def energy(self, defo_grad, coeff=1.0):
         return coeff * jnp.sum(

@@ -159,6 +159,7 @@ class SimplicitsScene:
         self.force_dict = {"pt_wise": {}, "defo_grad_wise": {}}
         self._ready_for_forces = False
         self._step_fn = None
+        self._scan_fn = None
 
         self.sim_z = None
         self.sim_z_prev = None
@@ -312,6 +313,7 @@ class SimplicitsScene:
             "object": Gravity(g, self.sim_rhos, self.sim_vols),
             "coeff": float(gravity_coeff)}
         self._step_fn = None
+        self._scan_fn = None
 
     def set_scene_floor(self, floor_height=0.0, floor_axis=1,
                         floor_penalty=10000.0, flip_floor=False):
@@ -322,6 +324,7 @@ class SimplicitsScene:
                             jnp.ones_like(self.sim_vols)),
             "coeff": float(floor_penalty)}
         self._step_fn = None
+        self._scan_fn = None
 
     def set_object_boundary_condition(self, obj_idx, name, fcn,
                                       bdry_penalty=10000.0, pinned_x=None):
@@ -341,6 +344,7 @@ class SimplicitsScene:
         self.force_dict["pt_wise"][name] = {
             "object": boundary, "coeff": float(bdry_penalty)}
         self._step_fn = None
+        self._scan_fn = None
         return pinned_x
 
     def enable_collisions(self, collision_particle_radius=0.1,
@@ -364,6 +368,7 @@ class SimplicitsScene:
         self.force_dict["collision"] = {"object": collision,
                                         "coeff": float(collision_penalty)}
         self._step_fn = None
+        self._scan_fn = None
 
     # ---- state ----
     def reset_scene(self):
@@ -450,97 +455,130 @@ class SimplicitsScene:
         per_pt = per_pt.at[:, 3, :].set(0.0)
         return per_pt.at[:, 3, 3].set(1.0)
 
-    # ---- the jitted step ----
-    def _build_step_fn(self):
-        """Compose energy/gradient/Hessian closures over the current static
-        force configuration and jit the full Newton step (ref :959-1252 +
-        run_sim_step :1346)."""
+    # ---- the functional core ----
+    def build_functional_step(self):
+        """The scene's implicit time step as a PURE function over a pytree of
+        scene constants. Returns ``(step_fn, consts)`` with
+
+        ``step_fn(consts, z, z_prev, z_dot) -> (z_new, z_prev_out, z_dot_new)``
+
+        ``step_fn`` closes only over static Python config (solver knobs,
+        force order, DOF slices); every array — operators, force parameters
+        (forces are registered pytrees), QR rotations — flows through
+        ``consts``. The SAME function therefore serves (a) the single-scene
+        jit of :meth:`run_sim_step`, (b) ``lax.scan`` rollouts
+        (:meth:`run_sim_steps`), and (c) ``vmap``/``shard_map`` scene-batch
+        parallelism over the REAL simulator
+        (``kaolin_tpu.parallel.simplicits``). Ref: energy/gradient/Hessian
+        assembly ``simulation.py:959-1252`` + ``run_sim_step:1346``.
+        """
         dt = self.timestep
-        B = self.sim_B
-        B_raw = self.sim_B_raw
-        dFdz = self.sim_dFdz
-        BMB = self.sim_BMB
-        pts = self.sim_pts
-        dyn_idx = self.dyn_idx
         reg = self.newton_hessian_regularizer
-        eye3 = jnp.eye(3, dtype=self.dtype)
-
-        pt_forces = [(f["object"], f["coeff"])
-                     for f in self.force_dict["pt_wise"].values()]
-        defo_forces = [(f["object"], f["coeff"])
-                       for f in self.force_dict["defo_grad_wise"].values()]
-        collision_entry = self.force_dict.get("collision")
-        collision = collision_entry["object"] if collision_entry else None
-        collision_coeff = collision_entry["coeff"] if collision_entry else None
+        dtype = self.dtype
+        total_dofs = self.total_dofs
+        dyn_idx = self.dyn_idx
         obj_slices = list(zip(self.obj_qp_slices, self.obj_z_slices))
+        has_collision = "collision" in self.force_dict
+        collision_bounds = (has_collision
+                            and self.force_dict["collision"]["object"].bounds)
+        nm_kwargs = dict(nm_max_iters=self.max_newton_steps,
+                         cg_tol=self.cg_tol, cg_iters=self.cg_iters,
+                         conv_tol=self.conv_tol,
+                         direct_solve=self.direct_solve,
+                         max_ls_steps=self.max_ls_steps)
+        eye3 = jnp.eye(3, dtype=dtype)
+
         objs = list(self.sim_obj_dict.values())
-        qr_red = self.sim_qr_tfm_red
-        qr_red_inv = self.sim_qr_tfm_inv_red
-        qp_obj_ids = self.qp_to_object_map
-        qp_is_kin = self.qp_is_kinematic
+        consts = {
+            "B": self.sim_B,
+            "B_raw": self.sim_B_raw,
+            "dFdz": self.sim_dFdz,
+            "BMB": self.sim_BMB,
+            "pts": self.sim_pts,
+            "obj_Bs": [o.B_dense for o in objs],
+            "obj_dFdzs": [o.dFdz_dense for o in objs],
+            "qr_tfm": self.sim_qr_tfm,
+            "qr_red": self.sim_qr_tfm_red,
+            "qr_red_inv": self.sim_qr_tfm_inv_red,
+            "qp_obj_ids": self.qp_to_object_map,
+            "qp_is_kin": self.qp_is_kinematic,
+            "pt_forces": [(f["object"], jnp.asarray(f["coeff"], dtype))
+                          for f in self.force_dict["pt_wise"].values()],
+            "defo_forces": [(f["object"], jnp.asarray(f["coeff"], dtype))
+                            for f in self.force_dict["defo_grad_wise"].values()],
+        }
+        if has_collision:
+            consts["collision"] = self.force_dict["collision"]["object"]
+            consts["collision_coeff"] = jnp.asarray(
+                self.force_dict["collision"]["coeff"], dtype)
 
-        def dx_of(z):
-            return (B @ z).reshape(-1, 3)
+        def step(c, z, z_prev_in, z_dot):
+            B, dFdz, BMB, pts = c["B"], c["dFdz"], c["BMB"], c["pts"]
+            collision = c.get("collision")
+            collision_coeff = c.get("collision_coeff")
 
-        def F_of(z):
-            return (dFdz @ z).reshape(-1, 3, 3) + eye3
+            def dx_of(z_):
+                return (B @ z_).reshape(-1, 3)
 
-        def assemble_energy(z, delta_dz, contacts, cJ):
-            dx = dx_of(z)
-            F = F_of(z)
-            pe = jnp.asarray(0.0, dtype=self.dtype)
-            for obj, coeff in pt_forces:
-                pe = pe + obj.energy(dx, pts, coeff)
-            for obj, coeff in defo_forces:
-                pe = pe + obj.energy(F, coeff)
-            if collision is not None:
-                pe = pe + collision.energy(contacts, dx, collision_coeff)
-            ke = 0.5 * delta_dz @ (BMB @ delta_dz)
-            return ke + dt * dt * pe
+            def F_of(z_):
+                return (dFdz @ z_).reshape(-1, 3, 3) + eye3
 
-        def assemble_gradient(z, delta_dz, contacts, cJ):
-            dx = dx_of(z)
-            F = F_of(z)
-            dEdx = jnp.zeros_like(dx)
-            for obj, coeff in pt_forces:
-                dEdx = dEdx + obj.gradient(dx, pts, coeff)
-            dEdF = jnp.zeros_like(F)
-            for obj, coeff in defo_forces:
-                dEdF = dEdF + obj.gradient(F, coeff)
-            g = B.T @ dEdx.reshape(-1) + dFdz.T @ dEdF.reshape(-1)
-            if collision is not None:
-                c_dEdx = collision.gradient(contacts, dx, collision_coeff)
-                g = g + cJ.T @ c_dEdx.reshape(-1)
-            return BMB @ delta_dz + dt * dt * g
+            def assemble_energy(z_, delta_dz, contacts, cJ):
+                dx = dx_of(z_)
+                F = F_of(z_)
+                pe = jnp.asarray(0.0, dtype=dtype)
+                for obj, coeff in c["pt_forces"]:
+                    pe = pe + obj.energy(dx, pts, coeff)
+                for obj, coeff in c["defo_forces"]:
+                    pe = pe + obj.energy(F, coeff)
+                if has_collision:
+                    pe = pe + collision.energy(contacts, dx, collision_coeff)
+                ke = 0.5 * delta_dz @ (BMB @ delta_dz)
+                return ke + dt * dt * pe
 
-        def assemble_hessian(z, contacts, cJ):
-            dx = dx_of(z)
-            F = F_of(z)
-            d2Edx2 = jnp.zeros(dx.shape[:1] + (3, 3), dtype=self.dtype)
-            for obj, coeff in pt_forces:
-                d2Edx2 = d2Edx2 + obj.hessian(dx, pts, coeff)
-            d2EdF2 = jnp.zeros(F.shape[:1] + (9, 9), dtype=self.dtype)
-            for obj, coeff in defo_forces:
-                d2EdF2 = d2EdF2 + obj.hessian(F, coeff)
-            H = jnp.zeros((self.total_dofs, self.total_dofs), dtype=self.dtype)
-            for obj, (qsl, zsl) in zip(objs, obj_slices):
-                h_ii = hess_reduction(obj.B_dense, d2Edx2[qsl]) + \
-                    hess_reduction(obj.dFdz_dense, d2EdF2[qsl])
-                H = H.at[zsl, zsl].add(h_ii)
-            if collision is not None:
-                c_h = collision.hessian(contacts, dx, collision_coeff)  # (C,3,3)
-                H = H + hess_reduction(cJ, c_h)
-            return BMB + dt * dt * H + reg * jnp.eye(self.total_dofs,
-                                                     dtype=self.dtype)
+            def assemble_gradient(z_, delta_dz, contacts, cJ):
+                dx = dx_of(z_)
+                F = F_of(z_)
+                dEdx = jnp.zeros_like(dx)
+                for obj, coeff in c["pt_forces"]:
+                    dEdx = dEdx + obj.gradient(dx, pts, coeff)
+                dEdF = jnp.zeros_like(F)
+                for obj, coeff in c["defo_forces"]:
+                    dEdF = dEdF + obj.gradient(F, coeff)
+                g = B.T @ dEdx.reshape(-1) + dFdz.T @ dEdF.reshape(-1)
+                if has_collision:
+                    c_dEdx = collision.gradient(contacts, dx, collision_coeff)
+                    g = g + cJ.T @ c_dEdx.reshape(-1)
+                return BMB @ delta_dz + dt * dt * g
 
-        def step(z, z_prev_in, z_dot):
+            def assemble_hessian(z_, contacts, cJ):
+                dx = dx_of(z_)
+                F = F_of(z_)
+                d2Edx2 = jnp.zeros(dx.shape[:1] + (3, 3), dtype=dtype)
+                for obj, coeff in c["pt_forces"]:
+                    d2Edx2 = d2Edx2 + obj.hessian(dx, pts, coeff)
+                d2EdF2 = jnp.zeros(F.shape[:1] + (9, 9), dtype=dtype)
+                for obj, coeff in c["defo_forces"]:
+                    d2EdF2 = d2EdF2 + obj.hessian(F, coeff)
+                H = jnp.zeros((total_dofs, total_dofs), dtype=dtype)
+                for oB, odFdz, (qsl, zsl) in zip(c["obj_Bs"], c["obj_dFdzs"],
+                                                 obj_slices):
+                    h_ii = hess_reduction(oB, d2Edx2[qsl]) + \
+                        hess_reduction(odFdz, d2EdF2[qsl])
+                    H = H.at[zsl, zsl].add(h_ii)
+                if has_collision:
+                    c_h = collision.hessian(contacts, dx, collision_coeff)
+                    H = H + hess_reduction(cJ, c_h)
+                return BMB + dt * dt * H + reg * jnp.eye(total_dofs,
+                                                         dtype=dtype)
+
             # detect collisions at step start (ref run_sim_step :1353)
-            if collision is not None:
+            if has_collision:
                 dx0 = dx_of(z)
                 contacts = collision.detect_collisions(
-                    dx0, pts, qp_obj_ids, qp_is_kin)
+                    dx0, pts, c["qp_obj_ids"], c["qp_is_kin"])
                 cJ, cJa, cJb = collision.calculate_jacobian(
-                    contacts, B_raw, qr_tfm=self.sim_qr_tfm)
+                    contacts, c["B_raw"], qr_tfm=c["qr_tfm"])
             else:
                 contacts, cJ, cJa, cJb = None, None, None, None
 
@@ -553,25 +591,25 @@ class SimplicitsScene:
             grad_fn = lambda z_: assemble_gradient(z_, delta_of(z_), contacts, cJ)  # noqa: E731
             hess_fn = lambda z_: assemble_hessian(z_, contacts, cJ)  # noqa: E731
 
-            if collision is not None and collision.bounds:
+            if collision_bounds:
                 def bounds_fn(dz_full, z_):
-                    b = collision.get_bounds(contacts, dx_of(dz_full),
-                                             dx_of(z_), cJa, cJb)
-                    return b
+                    return collision.get_bounds(contacts, dx_of(dz_full),
+                                                dx_of(z_), cJa, cJb)
             else:
                 bounds_fn = None
 
             z_new = newtons_method(
                 z, energy_fn, grad_fn, hess_fn, bounds_fcn=bounds_fn,
-                dyn_idx=dyn_idx, nm_max_iters=self.max_newton_steps,
-                cg_tol=self.cg_tol, cg_iters=self.cg_iters,
-                conv_tol=self.conv_tol, direct_solve=self.direct_solve,
-                max_ls_steps=self.max_ls_steps,
-                bounds_qr_tfm=qr_red, bounds_qr_tfm_inv=qr_red_inv)
+                dyn_idx=dyn_idx, bounds_qr_tfm=c["qr_red"],
+                bounds_qr_tfm_inv=c["qr_red_inv"], **nm_kwargs)
             z_dot_new = (z_new - z_prev) / dt
             return z_new, z_prev, z_dot_new
 
-        return jax.jit(step)
+        return step, consts
+
+    def _build_step_fn(self):
+        step, consts = self.build_functional_step()
+        return jax.jit(functools.partial(step, consts))
 
     def run_sim_step(self):
         """Run one implicit time step — a single compiled XLA call.
@@ -583,3 +621,31 @@ class SimplicitsScene:
         self.sim_z, self.sim_z_prev, self.sim_z_dot = self._step_fn(
             self.sim_z, self.sim_z_prev, self.sim_z_dot)
         self.current_sim_step += 1
+
+    def run_sim_steps(self, num_steps):
+        """Run ``num_steps`` implicit time steps as ONE compiled
+        ``lax.scan`` rollout — zero per-step dispatch overhead.
+
+        Semantically identical to calling :meth:`run_sim_step` ``num_steps``
+        times (same step function scanned on-device); use it whenever no
+        host-side scripting (kinematic transforms, force changes) is needed
+        between steps. This is the TPU answer to the reference's CUDA-graph
+        capture (ref simulation.py:994-1066) — and goes further, also
+        removing the per-step launch/dispatch round-trip.
+        """
+        if not self._ready_for_forces:
+            raise RuntimeError("Forces need to be set")
+        if self._scan_fn is None:
+            step, consts = self.build_functional_step()
+
+            @functools.partial(jax.jit, static_argnames="n")
+            def rollout(z, z_prev, z_dot, n):
+                def body(carry, _):
+                    return step(consts, *carry), None
+                carry, _ = jax.lax.scan(body, (z, z_prev, z_dot), None,
+                                        length=n)
+                return carry
+            self._scan_fn = rollout
+        self.sim_z, self.sim_z_prev, self.sim_z_dot = self._scan_fn(
+            self.sim_z, self.sim_z_prev, self.sim_z_dot, n=int(num_steps))
+        self.current_sim_step += int(num_steps)

@@ -178,3 +178,21 @@ def test_loss_parity_with_reference(key):
     w = rng.rand(30, 5).astype(np.float32)
     np.testing.assert_allclose(float(loss_ortho(jnp.asarray(w))),
                                float(ref_lo(torch.tensor(w))), rtol=1e-5)
+
+
+def test_run_sim_steps_scan_matches_stepwise():
+    """lax.scan rollout (run_sim_steps) == repeated run_sim_step calls,
+    including collisions, kinematic object, and QR basis."""
+    from kaolin_tpu.parallel.simplicits import make_demo_scene
+
+    a = make_demo_scene(seed=3, num_qp=24, num_handles=3)
+    b = make_demo_scene(seed=3, num_qp=24, num_handles=3)
+    n = 4
+    a.run_sim_steps(n)
+    for _ in range(n):
+        b.run_sim_step()
+    assert a.current_sim_step == b.current_sim_step == n
+    np.testing.assert_allclose(np.asarray(a.sim_z), np.asarray(b.sim_z),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.sim_z_dot),
+                               np.asarray(b.sim_z_dot), atol=1e-6)
