@@ -44,6 +44,18 @@ _QUAD_SPLIT_1 = np.array([0, 1, 2, 0, 2, 3])
 _QUAD_SPLIT_2 = np.array([0, 1, 3, 3, 1, 2])
 _QUAD_SPLIT_TRAIN = np.array([0, 1, 1, 2, 2, 3, 3, 0])
 
+# tetrahedralization constants (ref flexicubes.py:107-114): the axis of each
+# cube edge, the face shared by consecutive cube pairs around an edge of a
+# given axis, and the ring ordering of the 4 cubes around an edge
+_EDGE_DIR_TABLE = np.array([0, 2, 0, 2, 0, 2, 0, 2, 1, 1, 1, 1],
+                           dtype=np.int64)
+_DIR_FACES_TABLE = np.array([
+    [[5, 4], [3, 2], [4, 5], [2, 3]],
+    [[5, 4], [1, 0], [4, 5], [0, 1]],
+    [[3, 2], [1, 0], [2, 3], [0, 1]],
+], dtype=np.int64)
+_ADJ_PAIRS = np.array([0, 1, 1, 3, 3, 2, 2, 0], dtype=np.int64)
+
 
 class _Topology(NamedTuple):
     """Static index arrays extracted from the sign pattern (all numpy)."""
@@ -61,6 +73,16 @@ class _Topology(NamedTuple):
     quad_cube: np.ndarray           # (Q,) surf-cube row of gamma source... unused
     quad_s_edge: np.ndarray         # (Q,) surf-edge id the quad wraps around
     flip_mask: np.ndarray           # (Q,) bool
+
+
+class _TetTopology(NamedTuple):
+    """Static index structure for interior tetrahedralization (all numpy,
+    final vertex-index space: [dual verts (+quad centers when training),
+    inside grid verts, inside cube centers])."""
+    inside_grid_idx: np.ndarray   # (Ni,) grid-vertex ids of inside verts
+    inside_cube_rows: np.ndarray  # (Nc, 8) corner grid ids of inside cubes
+    apex_idx: np.ndarray          # (Qf,) apex vertex index per surface face
+    tets_inside: np.ndarray       # (Ti, 4) interior tets, final indices
 
 
 class FlexiCubes:
@@ -171,6 +193,102 @@ class FlexiCubes:
             quad_vd_idx=quad_vd_idx, quad_cube=None, quad_s_edge=quad_s_edge,
             flip_mask=flip_mask)
 
+    def precompute_tet_topology(self, scalar_field, cube_idx, topology,
+                                training=False):
+        """Sign-dependent index structure for ``output_tetmesh`` (numpy).
+        Ref _tetrahedralize :619-700 (Section 4.5 of the paper).
+
+        Two tet families: (a) per surface quad, a pyramid from the quad to
+        the inside endpoint of the grid edge it wraps, split along the quad's
+        triangulation; (b) per interior grid edge (both endpoints inside)
+        shared by 4 cells, tets formed from the edge and dual/center vertices
+        of consecutive adjacent cells via TET_TABLE.
+
+        Divergence from the reference (deliberate bug fix): the reference
+        builds faces from the flip-reordered quad list but gathers pyramid
+        apexes in pre-reorder (sorted) quad order, pairing most faces with
+        the wrong grid edge (apexes land up to several cells away from their
+        face). Here the apex list is taken from the SAME reordered per-quad
+        edge ids (``quad_s_edge``) the faces are built from, so every pyramid
+        is anchored to its own edge.
+        """
+        t = topology
+        s = np.asarray(scalar_field)
+        cube_idx_np = np.asarray(cube_idx)
+        occ_n = s < 0
+        v_base = t.total_num_vd + (t.quad_vd_idx.shape[0] if training else 0)
+
+        inside_grid_idx = np.nonzero(occ_n)[0]
+        mapping_inside = np.full((s.shape[0],), -1, dtype=np.int64)
+        mapping_inside[occ_n] = np.arange(inside_grid_idx.shape[0]) + v_base
+
+        # (a) surface pyramids: apex = inside endpoint of each quad's edge,
+        # in the SAME (post-flip-reorder) order the faces were emitted in
+        quad_edge_verts = t.surf_edges[t.quad_s_edge]             # (Q, 2)
+        s_q = s[quad_edge_verts]
+        apex_grid = np.where(s_q[:, 0] < 0, quad_edge_verts[:, 0],
+                             quad_edge_verts[:, 1])
+        apex = mapping_inside[apex_grid]
+        apex_idx = np.repeat(apex, 4 if training else 2)
+
+        # (b) interior-edge tets
+        occ_fx8 = occ_n[cube_idx_np]
+        occ_sum = occ_fx8.sum(-1)
+        inside_cubes = occ_sum == 8
+        both = t.surf_cubes | inside_cubes
+        n_both = int(both.sum())
+        inside_cube_rows = cube_idx_np[inside_cubes]
+        n_inside_c = inside_cube_rows.shape[0]
+        center_idx = (np.arange(n_inside_c) + v_base
+                      + inside_grid_idx.shape[0])
+
+        sc_l = t.surf_cubes[both]
+        ic_l = inside_cubes[both]
+        vd_idx_map = np.zeros((t.idx_map.shape[0] * 12,), dtype=np.int64)
+        vd_idx_map[t.edge_group_to_cube * 12 + t.edge_group] = \
+            t.edge_group_to_vd
+        ecv = np.full((n_both, 13), -1, dtype=np.int64)
+        ecv[sc_l, :12] = vd_idx_map.reshape(-1, 12)
+        ecv[ic_l, 12] = center_idx
+
+        all_edges = cube_idx_np[both][:, _CUBE_EDGES].reshape(-1, 2)
+        unique_edges, inv, counts = np.unique(
+            all_edges, axis=0, return_inverse=True, return_counts=True)
+        interior_edges = occ_n[unique_edges].sum(-1) == 2
+        mask = interior_edges[inv]
+        counts = counts[inv]
+        mapping = np.full((unique_edges.shape[0],), -1, dtype=np.int64)
+        mapping[interior_edges] = np.arange(interior_edges.sum())
+        idx_map2 = mapping[inv]
+
+        group_mask = (counts == 4) & mask
+        group = idx_map2[group_mask]
+        # stable sort keeps the 4 cubes of an edge in ascending row order —
+        # the canonical ring order _ADJ_PAIRS/_DIR_FACES_TABLE assume
+        order = np.argsort(group, kind="stable")
+        edge_ids_sorted = group[order]
+        edge2cube = np.repeat(np.arange(n_both), 12)[group_mask][order]
+        edge_slot = np.tile(np.arange(12), n_both)[group_mask][order]
+
+        cube_idx_4 = edge2cube.reshape(-1, 4)
+        edge_dir = _EDGE_DIR_TABLE[edge_slot].reshape(-1, 4)[:, 0]
+        shared_faces = _DIR_FACES_TABLE[edge_dir].reshape(-1)
+        cube_ring = cube_idx_4[:, _ADJ_PAIRS].reshape(-1)
+
+        case_exp = np.full((n_both,), 255, dtype=np.int64)
+        case_exp[sc_l] = t.case_ids
+        slot_sel = TET_TABLE[case_exp[cube_ring], shared_faces]
+        # slot −1 wraps to column 12 (−1 for surf cubes, center for inside)
+        quad_edge = ecv[cube_ring, slot_sel].reshape(-1, 2)
+        complete = (quad_edge != -1).all(-1)
+        inside_edge = mapping_inside[
+            unique_edges[interior_edges][edge_ids_sorted]].reshape(-1, 2)
+        tets_inside = np.concatenate([quad_edge, inside_edge], -1)[complete]
+
+        return _TetTopology(inside_grid_idx=inside_grid_idx,
+                            inside_cube_rows=inside_cube_rows,
+                            apex_idx=apex_idx, tets_inside=tets_inside)
+
     def _resolve_ambiguities(self, case_ids, surf_cubes, res):
         """C16/C19 ambiguous-face inversion (ref _get_case_id :349)."""
         if not isinstance(res, (list, tuple)):
@@ -207,22 +325,26 @@ class FlexiCubes:
     def __call__(self, voxelgrid_vertices, scalar_field, cube_idx, resolution,
                  qef_reg_scale=1e-3, weight_scale=0.99, beta=None, alpha=None,
                  gamma_f=None, training=False, output_tetmesh=False,
-                 grad_func=None, voxelgrid_features=None, topology=None):
+                 grad_func=None, voxelgrid_features=None, topology=None,
+                 tet_topology=None):
         """Extract a mesh; ref :154. Pass ``topology`` (from
-        :meth:`precompute_topology`) to stay fully traceable/jittable."""
-        if output_tetmesh:
-            raise NotImplementedError(
-                "output_tetmesh is not implemented yet in kaolin_tpu")
+        :meth:`precompute_topology`) — and ``tet_topology`` (from
+        :meth:`precompute_tet_topology`) when ``output_tetmesh`` — to stay
+        fully traceable/jittable."""
         if topology is None:
             topology = self.precompute_topology(scalar_field, cube_idx,
                                                 resolution)
         if topology is None:  # empty surface
             empty_f = jnp.zeros((0, 3), dtype=jnp.float32)
-            out = (empty_f, jnp.zeros((0, 3), dtype=jnp.int64),
+            out = (empty_f, jnp.zeros((0, 4 if output_tetmesh else 3),
+                                      dtype=jnp.int64),
                    jnp.zeros((0,), dtype=jnp.float32))
-            if voxelgrid_features is not None:
+            if voxelgrid_features is not None and not output_tetmesh:
                 out = out + (jnp.zeros((0, voxelgrid_features.shape[-1])),)
             return out
+        if output_tetmesh and tet_topology is None:
+            tet_topology = self.precompute_tet_topology(
+                scalar_field, cube_idx, topology, training=training)
 
         t = topology
         cube_idx_np = np.asarray(cube_idx)
@@ -342,6 +464,21 @@ class FlexiCubes:
                 [faces, jnp.broadcast_to(center_idx[:, None, None],
                                          (faces.shape[0], 4, 1))], axis=-1)
             faces = faces.reshape(-1, 3)
+
+        if output_tetmesh:
+            tt = tet_topology
+            inside_verts = voxelgrid_vertices[jnp.asarray(tt.inside_grid_idx)]
+            if tt.inside_cube_rows.shape[0] > 0:
+                centers = jnp.mean(voxelgrid_vertices[
+                    jnp.asarray(tt.inside_cube_rows)], axis=1)
+            else:
+                centers = jnp.zeros((0, 3), dtype=vertices.dtype)
+            all_vertices = jnp.concatenate([vertices, inside_verts, centers])
+            tets_surface = jnp.concatenate(
+                [faces, jnp.asarray(tt.apex_idx)[:, None]], axis=-1)
+            tets = jnp.concatenate(
+                [tets_surface, jnp.asarray(tt.tets_inside)])
+            return all_vertices, tets, l_dev
 
         if voxelgrid_features is not None:
             return vertices, faces, l_dev, vd_features

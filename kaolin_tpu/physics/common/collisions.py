@@ -4,12 +4,23 @@ TPU-native analog of reference ``kaolin/physics/common/collisions.py``
 (detection kernel :37, energy :159, gradient :256, hessian :366, bounds :509,
 Collision :578).
 
-Fixed-shape design for XLA: instead of a hash-grid + atomic-counter contact
-list, detection computes the tiled pairwise-distance mask and extracts up to
-``max_contacts`` pairs with ``jnp.nonzero(..., size=max_contacts)`` — a
-capacity-bounded contact buffer with a validity mask (the reference also caps
-contacts at ``max_contacting_pairs``). All energy/gradient/hessian terms are
-batched over the contact axis and masked.
+Fixed-shape design for XLA: detection emits a capacity-bounded contact
+buffer with a validity mask via ``jnp.nonzero(..., size=max_contacts)`` (the
+reference also caps contacts at ``max_contacting_pairs``). Two broad phases
+share that narrow phase:
+
+* ``dense`` — the (N, N) pairwise-distance mask; simplest, exact, O(N²).
+* ``grid`` — the TPU answer to the reference's ``wp.HashGrid`` (ref :641):
+  spatial-hash cells of side = detection radius, points sorted by cell key,
+  per-point candidate lookup over the 27 neighbor cells by ``searchsorted``
+  into the sorted keys with a fixed ``cell_capacity`` read per cell. O(N·27·K)
+  with static shapes; hash collisions only add candidates (rejected by the
+  exact distance test), never lose pairs. Capacity overflow (a cell holding
+  more than ``cell_capacity`` points, or more than ``max_contacts`` true
+  pairs) is surfaced via :meth:`detection_diagnostics`.
+
+All energy/gradient/hessian terms are batched over the contact axis and
+masked.
 
 Energy model (ref :159-254): quadratic-log barrier on the normal gap
 ``E = −(d̂−1)² log(d̂−rp)`` active for ``rp < d̂ ≤ 1``, plus regularized
@@ -22,6 +33,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["Collision", "Contacts"]
 
@@ -51,7 +63,8 @@ class Collision:
                  ignore_self_collision_ratio=100000.0,
                  collision_penalty_stiffness=100.0,
                  friction_regularization=0.1, friction_fluid=0.1, friction=0.5,
-                 max_contacting_pairs=10000, bounds=True):
+                 max_contacting_pairs=10000, bounds=True,
+                 broad_phase="dense", cell_capacity=16):
         self.dt = float(dt)
         self.collision_radius = float(collision_particle_radius)
         self.collision_detection_ratio = float(detection_ratio)
@@ -63,6 +76,10 @@ class Collision:
         self.friction = float(friction)
         self.max_contacts = int(max_contacting_pairs)
         self.bounds = bounds
+        if broad_phase not in ("dense", "grid"):
+            raise ValueError(f"unknown broad_phase {broad_phase!r}")
+        self.broad_phase = broad_phase
+        self.cell_capacity = int(cell_capacity)
 
     def tree_flatten(self):
         children = (self.dt, self.collision_radius,
@@ -71,7 +88,8 @@ class Collision:
                     self.ignore_self_collision_ratio,
                     self.collision_penalty_stiffness,
                     self.friction_reg, self.friction_fluid, self.friction)
-        return children, (self.max_contacts, self.bounds)
+        return children, (self.max_contacts, self.bounds, self.broad_phase,
+                          self.cell_capacity)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -80,8 +98,96 @@ class Collision:
          obj.collision_barrier_ratio, obj.ignore_self_collision_ratio,
          obj.collision_penalty_stiffness, obj.friction_reg,
          obj.friction_fluid, obj.friction) = children
-        obj.max_contacts, obj.bounds = aux
+        (obj.max_contacts, obj.bounds, obj.broad_phase,
+         obj.cell_capacity) = aux
         return obj
+
+    # -- broad phases --
+    def _pair_mask_of(self, ca, cb, cur, cp_x0, cp_obj_ids, radius):
+        """Exact narrow test on candidate pairs: within detection radius,
+        deduped (a < b), and not self-collision-immune (ref detection kernel
+        :37 gates on rest distance × ignore_self_collision_ratio)."""
+        d2 = jnp.sum((cur[ca] - cur[cb]) ** 2, axis=-1)
+        rest_d2 = jnp.sum((cp_x0[ca] - cp_x0[cb]) ** 2, axis=-1)
+        immune = (cp_obj_ids[ca] == cp_obj_ids[cb]) & (
+            rest_d2 < self.collision_radius * self.ignore_self_collision_ratio)
+        return (ca < cb) & (d2 <= radius * radius) & ~immune
+
+    @staticmethod
+    def _hash_cells(cells, table_size):
+        """Spatial hash of int32 cell coords → bucket in [0, table_size)."""
+        h = (cells[..., 0] * jnp.int32(73856093)
+             ^ cells[..., 1] * jnp.int32(19349663)
+             ^ cells[..., 2] * jnp.int32(83492791))
+        return h & jnp.int32(table_size - 1)
+
+    def _grid_candidates(self, cur, radius):
+        """Grid broad phase: candidate pairs (ca, cb) with a coarse validity
+        mask. Returns (ca, cb, cand_ok, bucket_load) all of static shape
+        (N·27·K,) / (N, 27)."""
+        n = cur.shape[0]
+        k = self.cell_capacity
+        table_size = 1 << max(int(np.ceil(np.log2(max(2 * n, 64)))), 6)
+
+        cells = jnp.floor(cur / radius).astype(jnp.int32)
+        key = self._hash_cells(cells, table_size)
+        order = jnp.argsort(key).astype(jnp.int32)
+        skey = key[order]
+
+        offs = jnp.asarray(
+            [(i, j, l) for i in (-1, 0, 1) for j in (-1, 0, 1)
+             for l in (-1, 0, 1)], dtype=jnp.int32)                 # (27, 3)
+        nkeys = self._hash_cells(cells[:, None, :] + offs[None], table_size)
+        # two neighbor cells hashing to one bucket would return the same run
+        # twice — keep only the first lookup per distinct bucket key
+        dup = jnp.triu(nkeys[:, :, None] == nkeys[:, None, :], k=1)
+        first_use = ~jnp.any(dup, axis=1)                            # (N, 27)
+
+        start = jnp.searchsorted(skey, nkeys.reshape(-1),
+                                 side="left").reshape(n, 27).astype(jnp.int32)
+        end = jnp.searchsorted(skey, nkeys.reshape(-1),
+                               side="right").reshape(n, 27).astype(jnp.int32)
+        bucket_load = jnp.where(first_use, end - start, 0)
+
+        slots = start[..., None] + jnp.arange(k, dtype=jnp.int32)    # (N,27,K)
+        in_run = slots < jnp.minimum(end, start + k)[..., None]
+        cb = order[jnp.clip(slots, 0, n - 1)]
+        ca = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32)[:, None, None], cb.shape)
+        cand_ok = in_run & first_use[..., None]
+        return (ca.reshape(-1), cb.reshape(-1), cand_ok.reshape(-1),
+                bucket_load)
+
+    def _candidate_pairs(self, cur, cp_x0, cp_obj_ids):
+        """Dispatch on ``broad_phase``; returns (ca, cb, pair_mask,
+        bucket_load or None)."""
+        n = cur.shape[0]
+        radius = 2.0 * self.collision_radius * self.collision_detection_ratio
+        if self.broad_phase == "grid":
+            ca, cb, cand_ok, bucket_load = self._grid_candidates(cur, radius)
+            mask = cand_ok & self._pair_mask_of(ca, cb, cur, cp_x0,
+                                                cp_obj_ids, radius)
+            return ca, cb, mask, bucket_load
+        iu = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0).reshape(-1)
+        ju = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1).reshape(-1)
+        mask = self._pair_mask_of(iu, ju, cur, cp_x0, cp_obj_ids, radius)
+        return iu, ju, mask, None
+
+    def detection_diagnostics(self, cp_dx, cp_x0, cp_obj_ids):
+        """Capacity-overflow surfacing (jittable). Returns a dict with
+        ``num_pairs`` (true pair count), ``contacts_overflow`` (true pairs
+        exceed ``max_contacts`` — pairs were silently dropped), and for the
+        grid broad phase ``max_bucket_load`` / ``cell_overflow`` (a bucket
+        held more than ``cell_capacity`` points — candidates were dropped)."""
+        cur = cp_dx + cp_x0
+        _, _, mask, bucket_load = self._candidate_pairs(cur, cp_x0, cp_obj_ids)
+        num_pairs = jnp.sum(mask.astype(jnp.int32))
+        out = {"num_pairs": num_pairs,
+               "contacts_overflow": num_pairs > self.max_contacts}
+        if bucket_load is not None:
+            out["max_bucket_load"] = jnp.max(bucket_load)
+            out["cell_overflow"] = jnp.max(bucket_load) > self.cell_capacity
+        return out
 
     # -- detection (ref :643) --
     def detect_collisions(self, cp_dx, cp_x0, cp_obj_ids, cp_is_static=None):
@@ -94,23 +200,14 @@ class Collision:
         if cp_is_static is None:
             cp_is_static = jnp.zeros((n,), dtype=jnp.int32)
         cur = cp_dx + cp_x0
-        radius = 2.0 * self.collision_radius * self.collision_detection_ratio
 
-        d2 = jnp.sum((cur[:, None, :] - cur[None, :, :]) ** 2, axis=-1)
-        same_obj = cp_obj_ids[:, None] == cp_obj_ids[None, :]
-        rest_d2 = jnp.sum((cp_x0[:, None, :] - cp_x0[None, :, :]) ** 2, axis=-1)
-        immune = same_obj & (rest_d2 < self.collision_radius
-                             * self.ignore_self_collision_ratio)
-        iu = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-        ju = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-        pair_mask = (iu < ju) & (d2 <= radius ** 2) & ~immune
-
-        flat_idx = jnp.nonzero(pair_mask.reshape(-1), size=self.max_contacts,
+        ca, cb, pair_mask, _ = self._candidate_pairs(cur, cp_x0, cp_obj_ids)
+        flat_idx = jnp.nonzero(pair_mask, size=self.max_contacts,
                                fill_value=-1)[0]
         valid = flat_idx >= 0
         safe = jnp.where(valid, flat_idx, 0)
-        ia = (safe // n).astype(jnp.int32)
-        ib = (safe % n).astype(jnp.int32)
+        ia = ca[safe]
+        ib = cb[safe]
 
         pos_a = cur[ia]
         pos_b = cur[ib]

@@ -39,9 +39,10 @@ def _line_search(energy_red_fn, x, direction, gradient, bounds,
     TPU formulation: the sequential search only ever visits step sizes on the
     grid t = β^k (grow by 1/β while sufficient, shrink by β otherwise), so
     ALL candidate energies are evaluated in ONE vmapped batch and the
-    grow/shrink/accept automaton is replayed over the precomputed
-    sufficiency bits with a cheap scalar scan — max_steps sequential energy
-    evaluations collapse into a single fused one."""
+    reference's grow/shrink/accept automaton is resolved in CLOSED FORM over
+    the precomputed sufficiency bits (see :func:`_resolve_ls_automaton`) —
+    max_steps sequential energy evaluations collapse into a single fused one
+    and the control flow into a handful of vector ops."""
     f = energy_red_fn(x)
 
     # step grid exactly as the sequential multiply/divide chain produces it:
@@ -56,21 +57,33 @@ def _line_search(energy_red_fn, x, direction, gradient, bounds,
         lambda t: _apply_bounds(direction, bounds, t, qr_tfm, qr_tfm_inv))(ts)
     f_k = jax.vmap(lambda b: energy_red_fn(x + b))(bounded_k)
     suff = f_k <= f + alpha * (bounded_k @ gradient)
+    return bounded_k[_resolve_ls_automaton(suff, m)]
 
-    def body(state, _):
-        idx, can_break, done, acc_idx = state
-        s = suff[idx]
-        done_new = s & can_break & ~done
-        acc_idx = jnp.where(done_new, idx, acc_idx)
-        idx_next = jnp.clip(jnp.where(s, idx - 1, idx + 1), 0, 2 * m)
-        idx = jnp.where(done | done_new, idx, idx_next)
-        return (idx, can_break | s, done | done_new, acc_idx), None
 
-    init = (jnp.asarray(m), jnp.asarray(False), jnp.asarray(False),
-            jnp.asarray(m))
-    (idx, _, done, acc_idx), _ = jax.lax.scan(body, init, None, length=m)
-    final = jnp.where(done, acc_idx, idx)
-    return bounded_k[final]
+def _resolve_ls_automaton(suff, m):
+    """Closed-form replay of the reference's sequential line search
+    (ref _line_search :89) over precomputed sufficiency bits.
+
+    The sequential automaton (t=1 start; on success set can_break and grow
+    t/β; on a success with can_break set, accept; on failure shrink t·β;
+    after max_steps return the CURRENT direction) only ever produces:
+
+    * ``suff[m]``   → accept index m-1 if ``suff[m-1]`` (or m == 1, where the
+      budget runs out right after the grow), else bounce back and accept m.
+    * otherwise     → walk up to the first sufficient index k in [m+1, 2m-1];
+      accepting k costs (k-m)+3 iterations, so with budget m the walk ends at
+      min(k, 2m-2); if no k exists the walk runs off the grid to index 2m.
+    """
+    idx_grid = jnp.arange(2 * m + 1)
+    if m == 1:
+        grow_res = jnp.asarray(m - 1)
+    else:
+        grow_res = jnp.where(suff[m - 1], m - 1, m)
+    shrink_hits = suff & (idx_grid > m) & (idx_grid <= 2 * m - 1)
+    k = jnp.argmax(shrink_hits)
+    found = jnp.any(shrink_hits)
+    shrink_res = jnp.where(found, jnp.minimum(k, 2 * m - 2), 2 * m)
+    return jnp.where(suff[m], grow_res, shrink_res)
 
 
 def newtons_method(x,
@@ -109,29 +122,46 @@ def newtons_method(x,
     d = x.shape[0]
     if dyn_idx is None:
         dyn_idx = np.arange(d)
+    all_dynamic = len(np.asarray(dyn_idx)) == d
     dyn_idx = jnp.asarray(np.asarray(dyn_idx), dtype=jnp.int32)
 
-    def red_to_full(red):
-        return jnp.zeros((d,), dtype=x.dtype).at[dyn_idx].set(red)
+    if all_dynamic:
+        def red_to_full(red):
+            return red
 
-    def full_to_red(full):
-        return full[dyn_idx]
+        def full_to_red(full):
+            return full
+    else:
+        def red_to_full(red):
+            return jnp.zeros((d,), dtype=x.dtype).at[dyn_idx].set(red)
+
+        def full_to_red(full):
+            return full[dyn_idx]
 
     x_kinematic = x - red_to_full(full_to_red(x))
 
     def energy_red(red):
         return energy_fcn(red_to_full(red) + x_kinematic)
 
-    def newton_iter(_, carry):
-        x_cur, converged = carry
+    def newton_iter(carry):
+        i, x_cur, converged = carry
         g = gradient_fcn(x_cur)
         H = hessian_fcn(x_cur)
-        red_H = H[jnp.ix_(dyn_idx, dyn_idx)]
+        red_H = H if all_dynamic else H[jnp.ix_(dyn_idx, dyn_idx)]
         red_g = full_to_red(g)
         red_x = full_to_red(x_cur)
 
         if direct_solve:
-            red_dx = -jnp.linalg.solve(red_H, red_g)
+            # H is SPD in the implicit-integration setting (BMB + dt²·H_e +
+            # reg·I): Cholesky beats LU on TPU (~0.42 vs 0.59 ms at 396²).
+            # Far from a minimum the elastic Hessian can be indefinite and
+            # Cholesky NaNs out — fall back to LU for that iteration only.
+            cf = jax.scipy.linalg.cho_factor(red_H)
+            dx_chol = jax.scipy.linalg.cho_solve(cf, red_g)
+            red_dx = -jax.lax.cond(
+                jnp.all(jnp.isfinite(dx_chol)),
+                lambda: dx_chol,
+                lambda: jnp.linalg.solve(red_H, red_g))
         else:
             diag = jnp.clip(jnp.diagonal(red_H), 1e-8, None)
             sol, _ = jax.scipy.sparse.linalg.cg(
@@ -155,8 +185,12 @@ def newtons_method(x,
 
         red_x_new = red_x + jnp.where(converged_new, 0.0, bounded_update)
         x_new = red_to_full(red_x_new) + x_kinematic
-        return (x_new, converged_new)
+        return (i + 1, x_new, converged_new)
 
-    x_final, _ = jax.lax.fori_loop(
-        0, nm_max_iters, newton_iter, (x, jnp.asarray(False)))
+    # while_loop with the reference's convergence break (ref :254-257):
+    # converged solves stop paying for the remaining Newton iterations
+    _, x_final, _ = jax.lax.while_loop(
+        lambda c: (c[0] < nm_max_iters) & ~c[2],
+        newton_iter,
+        (jnp.asarray(0), x, jnp.asarray(False)))
     return x_final

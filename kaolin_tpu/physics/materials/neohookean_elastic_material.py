@@ -12,6 +12,8 @@ by integration volume.
 import jax
 import jax.numpy as jnp
 
+from kaolin_tpu.physics.materials.material_utils import det_3x3, inv_3x3
+
 __all__ = [
     "neohookean_energy",
     "neohookean_gradient",
@@ -25,7 +27,7 @@ def neohookean_energy(mu, lam, defo_grad, vol=None):
     C1 = mu / 2.0
     D1 = lam / 2.0
     I1 = jnp.sum(defo_grad * defo_grad, axis=(-2, -1))[..., None]
-    J = jnp.linalg.det(defo_grad)[..., None]
+    J = det_3x3(defo_grad)[..., None]
     W = C1 * (I1 - 3.0) + D1 * (J - 1.0) ** 2 - mu * (J - 1.0)
     if vol is not None:
         W = W * vol
@@ -34,8 +36,9 @@ def neohookean_energy(mu, lam, defo_grad, vol=None):
 
 def neohookean_gradient(mu, lam, defo_grad, vol=None):
     """dW/dF per point → (..., 3, 3). Ref :48."""
-    J = jnp.linalg.det(defo_grad)[..., None, None]
-    FinvT = jnp.swapaxes(jnp.linalg.inv(defo_grad), -1, -2)
+    det = det_3x3(defo_grad)
+    J = det[..., None, None]
+    FinvT = jnp.swapaxes(inv_3x3(defo_grad, det=det), -1, -2)
     mu_ = mu[..., None]
     lam_ = lam[..., None]
     g = mu_ * defo_grad + lam_ * (J - 1.0) * J * FinvT - mu_ * J * FinvT
@@ -51,8 +54,9 @@ def neohookean_hessian(mu, lam, defo_grad, vol=None):
     gamma = J(lam(2J−1) − mu), dgamma = gamma − lam J²,
     Π[(i,k),(j,l)] = F^-T[i,l] F^-T[j,k]  (the d(F^-T)/dF transpose-shuffle).
     """
-    J = jnp.linalg.det(defo_grad)[..., None]  # (..., 1)
-    Finv = jnp.linalg.inv(defo_grad)
+    det = det_3x3(defo_grad)
+    J = det[..., None]  # (..., 1)
+    Finv = inv_3x3(defo_grad, det=det)
     FinvT = jnp.swapaxes(Finv, -1, -2)
     batch = defo_grad.shape[:-2]
     f = FinvT.reshape(batch + (9,))

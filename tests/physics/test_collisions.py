@@ -1,0 +1,154 @@
+"""Grid-binned collision broad phase vs the dense reference path.
+
+The grid broad phase (spatial hash + sort + searchsorted, mirroring the
+reference's ``wp.HashGrid`` broad phase, ref
+``kaolin/physics/common/collisions.py:641``) must find exactly the same
+contact set as the exact O(N²) dense path on arbitrary scenes, and surface
+capacity overflow instead of silently dropping pairs.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kaolin_tpu.physics.common.collisions import Collision
+
+
+def _random_scene(seed, n_per_obj=60, n_obj=3, spread=1.0):
+    rng = np.random.RandomState(seed)
+    pts, ids = [], []
+    for o in range(n_obj):
+        center = rng.uniform(-spread, spread, (3,))
+        pts.append(center + rng.uniform(-0.3, 0.3, (n_per_obj, 3)))
+        ids.append(np.full(n_per_obj, o))
+    x0 = jnp.asarray(np.concatenate(pts), dtype=jnp.float32)
+    obj_ids = jnp.asarray(np.concatenate(ids), dtype=jnp.int32)
+    dx = jnp.asarray(rng.uniform(-0.2, 0.2, x0.shape), dtype=jnp.float32)
+    return dx, x0, obj_ids
+
+
+def _pair_set(contacts):
+    ia = np.asarray(contacts.indices_a)
+    ib = np.asarray(contacts.indices_b)
+    valid = np.asarray(contacts.valid)
+    return {tuple(sorted((int(a), int(b))))
+            for a, b, v in zip(ia, ib, valid) if v}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("radius", [0.05, 0.15])
+def test_grid_matches_dense_contact_set(seed, radius):
+    dx, x0, obj_ids = _random_scene(seed)
+    kwargs = dict(dt=0.01, collision_particle_radius=radius,
+                  detection_ratio=1.5, max_contacting_pairs=4000)
+    dense = Collision(broad_phase="dense", **kwargs)
+    grid = Collision(broad_phase="grid", cell_capacity=64, **kwargs)
+
+    c_dense = dense.detect_collisions(dx, x0, obj_ids)
+    c_grid = grid.detect_collisions(dx, x0, obj_ids)
+    assert _pair_set(c_dense) == _pair_set(c_grid)
+
+    # scene-level energy agrees (order-invariant sum over contacts)
+    e_dense = dense.energy(c_dense, dx, 1.0)
+    e_grid = grid.energy(c_grid, dx, 1.0)
+    np.testing.assert_allclose(np.asarray(e_dense), np.asarray(e_grid),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_grid_finds_contacts_in_overlapping_scene():
+    """Two interpenetrating objects: both paths find the same nonempty set."""
+    rng = np.random.RandomState(0)
+    a = rng.uniform(-0.3, 0.3, (80, 3))
+    b = rng.uniform(-0.3, 0.3, (80, 3)) + np.array([0.2, 0.0, 0.0])
+    x0 = jnp.asarray(np.concatenate([a, b]), dtype=jnp.float32)
+    obj_ids = jnp.asarray(np.repeat([0, 1], 80), dtype=jnp.int32)
+    dx = jnp.zeros_like(x0)
+    kwargs = dict(dt=0.01, collision_particle_radius=0.05,
+                  max_contacting_pairs=8000)
+    c_dense = Collision(broad_phase="dense", **kwargs).detect_collisions(
+        dx, x0, obj_ids)
+    c_grid = Collision(broad_phase="grid", cell_capacity=128,
+                       **kwargs).detect_collisions(dx, x0, obj_ids)
+    s = _pair_set(c_dense)
+    assert s == _pair_set(c_grid)
+    assert len(s) > 10
+
+
+def test_grid_matches_dense_under_jit():
+    dx, x0, obj_ids = _random_scene(7)
+    grid = Collision(dt=0.01, collision_particle_radius=0.1,
+                     broad_phase="grid", cell_capacity=64,
+                     max_contacting_pairs=4000)
+    dense = Collision(dt=0.01, collision_particle_radius=0.1,
+                      broad_phase="dense", max_contacting_pairs=4000)
+    c_grid = jax.jit(grid.detect_collisions)(dx, x0, obj_ids)
+    c_dense = dense.detect_collisions(dx, x0, obj_ids)
+    assert _pair_set(c_dense) == _pair_set(c_grid)
+
+
+def test_self_collision_immunity_respected():
+    # one object folded onto itself: all pairs immune at default ratio
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(rng.uniform(-0.1, 0.1, (50, 3)), dtype=jnp.float32)
+    obj_ids = jnp.zeros((50,), dtype=jnp.int32)
+    dx = jnp.zeros_like(x0)
+    for bp in ("dense", "grid"):
+        col = Collision(dt=0.01, collision_particle_radius=0.1,
+                        broad_phase=bp, max_contacting_pairs=100)
+        c = col.detect_collisions(dx, x0, obj_ids)
+        assert not np.any(np.asarray(c.valid))
+
+
+def test_overflow_diagnostics():
+    dx, x0, obj_ids = _random_scene(0)
+    # deliberately undersized contact buffer
+    small = Collision(dt=0.01, collision_particle_radius=0.15,
+                      broad_phase="grid", cell_capacity=64,
+                      max_contacting_pairs=2)
+    diag = small.detection_diagnostics(dx, x0, obj_ids)
+    assert bool(diag["contacts_overflow"])
+    assert int(diag["num_pairs"]) > 2
+
+    # deliberately undersized cell capacity: candidates get dropped and the
+    # diagnostic reports it
+    tiny_cells = Collision(dt=0.01, collision_particle_radius=0.15,
+                           broad_phase="grid", cell_capacity=1,
+                           max_contacting_pairs=4000)
+    diag = tiny_cells.detection_diagnostics(dx, x0, obj_ids)
+    assert bool(diag["cell_overflow"])
+
+    # adequately sized: no overflow
+    ok = Collision(dt=0.01, collision_particle_radius=0.15,
+                   broad_phase="grid", cell_capacity=256,
+                   max_contacting_pairs=4000)
+    diag = ok.detection_diagnostics(dx, x0, obj_ids)
+    assert not bool(diag["contacts_overflow"])
+    assert not bool(diag["cell_overflow"])
+
+
+def test_grid_scales_to_50k_points():
+    """The dense path materializes (N, N) matrices and dies around N≈20-50k;
+    the grid path must handle N=50k (uniform density) fast."""
+    rng = np.random.RandomState(0)
+    n = 50_000
+    x0 = jnp.asarray(rng.uniform(0.0, 10.0, (n, 3)), dtype=jnp.float32)
+    # alternate object ids so cross-object contacts exist
+    obj_ids = jnp.asarray(np.arange(n) % 2, dtype=jnp.int32)
+    dx = jnp.zeros_like(x0)
+    col = Collision(dt=0.01, collision_particle_radius=0.05,
+                    broad_phase="grid", cell_capacity=16,
+                    max_contacting_pairs=200_000)
+    detect = jax.jit(col.detect_collisions)
+    c = detect(dx, x0, obj_ids)
+    jax.block_until_ready(c.valid)
+    t0 = time.perf_counter()
+    c = detect(dx, x0, obj_ids)
+    jax.block_until_ready(c.valid)
+    elapsed = time.perf_counter() - t0
+    num = int(np.sum(np.asarray(c.valid)))
+    assert num > 1000, f"expected many contacts at this density, got {num}"
+    # compiled detection should be well under a second even on CPU
+    assert elapsed < 5.0, f"grid detection took {elapsed:.2f}s at N=50k"
