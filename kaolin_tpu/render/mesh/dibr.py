@@ -274,36 +274,104 @@ def _soft_raw_bwd(sigmainv, boxlen, multiplier, height, width, tile_cfg,
 _soft_raw_binned.defvjp(_soft_raw_fwd, _soft_raw_bwd)
 
 
+# ---- Pallas path: fused per-tile fwd/bwd kernels (TPU) ----
+
+def _tiles_to_image(tiles, height, width, tile_px):
+    ty, tx = height // tile_px, width // tile_px
+    return tiles.reshape(ty, tx, tile_px, tile_px) \
+        .transpose(0, 2, 1, 3).reshape(height, width)
+
+
+def _image_to_tiles(img, height, width, tile_px):
+    ty, tx = height // tile_px, width // tile_px
+    return img.reshape(ty, tile_px, tx, tile_px) \
+        .transpose(0, 2, 1, 3).reshape(ty * tx, tile_px * tile_px)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
+def _soft_raw_pallas(face_vertices_image, sigmainv, boxlen, multiplier,
+                     height, width, tile_cfg):
+    """Same math as :func:`_soft_raw_binned` with both passes as Pallas
+    kernels (``pallas_soft_mask``): every (pixels, faces) intermediate stays
+    in VMEM, one program per image tile. ~8x faster fwd+bwd than the XLA
+    formulation at 512²/5k faces on v5-lite (BASELINE.md kernel table)."""
+    out, _ = _soft_raw_pallas_fwd(face_vertices_image, sigmainv, boxlen,
+                                  multiplier, height, width, tile_cfg)
+    return out
+
+
+def _soft_raw_pallas_fwd(face_vertices_image, sigmainv, boxlen, multiplier,
+                         height, width, tile_cfg):
+    from kaolin_tpu.render.mesh.pallas_soft_mask import soft_mask_fwd_pallas
+    from kaolin_tpu.utils.backend import pallas_interpret
+    tile_px = tile_cfg[0]
+    allprob, occ = soft_mask_fwd_pallas(
+        face_vertices_image, sigmainv, boxlen, multiplier, height, width,
+        tile_px, interpret=pallas_interpret())
+    out = 1.0 - _tiles_to_image(allprob, height, width, tile_px)
+    return out, (face_vertices_image, occ, allprob)
+
+
+def _soft_raw_pallas_bwd(sigmainv, boxlen, multiplier, height, width,
+                         tile_cfg, res, g):
+    from kaolin_tpu.render.mesh.pallas_soft_mask import soft_mask_bwd_pallas
+    from kaolin_tpu.utils.backend import pallas_interpret
+    tile_px = tile_cfg[0]
+    fvi, occ, allprob = res
+    g_tiles = _image_to_tiles(g, height, width, tile_px)
+    grad = soft_mask_bwd_pallas(
+        fvi, occ, g_tiles, allprob, sigmainv, boxlen, multiplier,
+        height, width, tile_px, interpret=pallas_interpret())
+    return (grad,)
+
+
+_soft_raw_pallas.defvjp(_soft_raw_pallas_fwd, _soft_raw_pallas_bwd)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("sigmainv", "boxlen", "multiplier",
-                                    "height", "width", "tile_px", "cap"))
+                                    "height", "width", "tile_px", "cap",
+                                    "impl"))
 def _soft_mask_binned(face_vertices_image, selected_face_idx, sigmainv,
-                      boxlen, multiplier, height, width, tile_px=32, cap=512):
+                      boxlen, multiplier, height, width, tile_px=32, cap=512,
+                      impl="xla"):
     """Tile-binned soft mask: each image tile only evaluates faces whose
     boxlen-enlarged bbox overlaps it. Same values as _soft_mask_unbatched
     provided no tile overflows ``cap`` candidates. Backward is the analytic
-    custom VJP of :func:`_soft_raw_binned`."""
-    soft = _soft_raw_binned(face_vertices_image, float(sigmainv),
-                            float(boxlen), float(multiplier), height, width,
-                            (tile_px, cap))
+    custom VJP of :func:`_soft_raw_binned` / :func:`_soft_raw_pallas`."""
+    raw = _soft_raw_pallas if impl == "pallas" else _soft_raw_binned
+    soft = raw(face_vertices_image, float(sigmainv),
+               float(boxlen), float(multiplier), height, width,
+               (tile_px, cap))
     return jnp.where(selected_face_idx >= 0, 1.0, soft)
 
 
 def dibr_soft_mask(face_vertices_image, selected_face_idx, sigmainv=7000,
-                   boxlen=0.02, knum=30, multiplier=1000.0, tile_px=32,
-                   tile_cap=None):
+                   boxlen=0.02, knum=30, multiplier=1000.0, tile_px=None,
+                   tile_cap=None, impl=None):
     """Soft foreground mask for silhouette losses → (B, H, W). Ref :75.
-    Differentiable w.r.t. face_vertices_image."""
+    Differentiable w.r.t. face_vertices_image.
+
+    ``impl``: None (auto — fused Pallas kernels on TPU, XLA elsewhere),
+    "pallas" (force; interpreted off-TPU, slow — for parity tests), or
+    "xla"."""
     del knum  # all faces participate (see module docstring)
     height, width = selected_face_idx.shape[1:3]
     f = face_vertices_image.shape[1]
     scaled = face_vertices_image * multiplier
-    if (f >= 1024 and height % tile_px == 0 and width % tile_px == 0
-            and (height // tile_px) * (width // tile_px) >= 64):
+    if impl is None:
+        from kaolin_tpu.utils.backend import on_tpu
+        impl = "pallas" if on_tpu() else "xla"
+    if tile_px is None:
+        tile_px = 16 if impl == "pallas" else 32
+    if ((impl == "pallas" or f >= 1024)
+            and height % tile_px == 0 and width % tile_px == 0
+            and (height // tile_px) * (width // tile_px) >= 4):
         cap = min(f, 512) if tile_cap is None else min(f, tile_cap)
         fn = lambda v, s: _soft_mask_binned(v, s, sigmainv, boxlen,
                                             multiplier, height, width,
-                                            tile_px=tile_px, cap=cap)
+                                            tile_px=tile_px, cap=cap,
+                                            impl=impl)
     else:
         fn = lambda v, s: _soft_mask_unbatched(v, s, sigmainv, boxlen,
                                                multiplier, height, width)
@@ -313,7 +381,7 @@ def dibr_soft_mask(face_vertices_image, selected_face_idx, sigmainv=7000,
 def dibr_rasterization(height, width, face_vertices_z, face_vertices_image,
                        face_features, face_normals_z, sigmainv=7000,
                        boxlen=0.02, knum=30, multiplier=None, eps=None,
-                       rast_backend=None, tile_px=32, tile_cap=None):
+                       rast_backend=None, tile_px=None, tile_cap=None):
     """Full DIB-R: rasterize features + soft mask, culling back faces
     (``face_normals_z > 0`` are valid). Ref :119.
 

@@ -1,0 +1,348 @@
+"""Pallas TPU kernels for the DIB-R soft silhouette (fwd + analytic bwd).
+
+Reference semantics: ``csrc/render/mesh/dibr_soft_mask_cuda.cu:40-400`` — per
+pixel, over faces whose boxlen-enlarged bbox contains it, accumulate
+``1 − ∏(1 − exp(−sigmainv·d²/mult²))`` with d² the min squared distance to
+the 3 edges (perpendicular where the foot lies on the segment) and 3
+vertices; backward pushes the analytic cotangent through the minimal branch.
+
+Why Pallas: the XLA tile-binned formulation (``dibr.py:_soft_raw_binned``)
+is numerically identical but its backward materializes ~30
+(num_tiles·pixels, cap) intermediates in HBM (~35 ms at 512²/5k faces on
+v5-lite). Here one kernel program per image tile keeps every (pixels, faces)
+intermediate in VMEM.
+
+Sparsity design (replaces the CUDA kernel's per-pixel bbox cull AND the
+earlier capacity-bounded face lists): every program loops over ALL faces in
+128-lane chunks, but skips chunks whose faces' enlarged bboxes don't touch
+the tile — a per-(tile, chunk) occupancy bitmap precomputed by one cheap XLA
+reduction. No per-tile gather, no top_k compaction, no contact capacity, no
+silent drops: exact at any face density. Face-major data is packed once into
+a (16, F_pad) lane-major array; pixels live on sublanes as (P, 1) columns.
+Backward gradients accumulate IN-KERNEL into a single (8, F_pad) block
+revisited by the (sequential) grid — no scatter.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-10
+_CHUNK = 128
+
+# packed face-array rows
+_ROWS = 16          # padded row count (sublane-friendly)
+_R_ALIVE = 9        # 0-5: x1,y1,x2,y2,x3,y3; 6-8: z1,z2,z3; 9: alive
+
+
+def pack_faces(face_vertices_image, face_vertices_z=None, valid_mask=None):
+    """Pack faces into the lane-major (16, F_pad) kernel layout."""
+    f = face_vertices_image.shape[0]
+    f_pad = -(-f // _CHUNK) * _CHUNK
+    rows = [face_vertices_image.reshape(f, 6).T]               # (6, F)
+    if face_vertices_z is None:
+        rows.append(jnp.zeros((3, f), jnp.float32))
+    else:
+        rows.append(face_vertices_z.reshape(f, 3).T)
+    if valid_mask is None:
+        rows.append(jnp.ones((1, f), jnp.float32))
+    else:
+        rows.append(valid_mask.astype(jnp.float32)[None])
+    packed = jnp.concatenate(rows, axis=0)                     # (10, F)
+    packed = jnp.pad(packed, ((0, _ROWS - packed.shape[0]), (0, f_pad - f)))
+    return packed, f_pad
+
+
+def chunk_occupancy(face_vertices_image, valid_mask, height, width,
+                    multiplier, tile_px, margin, f_pad, group=8):
+    """(T, 1, n_chunks) int32 bitmap: does any face of lane-chunk ``c`` have
+    an (enlarged) bbox overlapping tile ``t``? The kernels skip dead chunks
+    entirely.
+
+    Faces are first unioned in groups of ``group`` (bbox of the group) so
+    the tile-overlap test runs on F/group boxes, not F — a conservative
+    over-approximation (kernels mask exactly via in-box/inside tests), ~10x
+    cheaper than the exact per-face reduction and nearly as selective on
+    index-coherent meshes."""
+    f = face_vertices_image.shape[0]
+    ty = height // tile_px
+    tx = width // tile_px
+    fmin = jnp.min(face_vertices_image, axis=1) - margin       # (F, 2)
+    fmax = jnp.max(face_vertices_image, axis=1) + margin
+    # dead faces must not extend their group's union box
+    big = 4.0 * multiplier
+    fmin = jnp.where(valid_mask[:, None], fmin, big)
+    fmax = jnp.where(valid_mask[:, None], fmax, -big)
+    n_g = f_pad // group
+    fmin = jnp.pad(fmin, ((0, f_pad - f), (0, 0)), constant_values=big)
+    fmax = jnp.pad(fmax, ((0, f_pad - f), (0, 0)), constant_values=-big)
+    gmin = jnp.min(fmin.reshape(n_g, group, 2), axis=1)        # (G, 2)
+    gmax = jnp.max(fmax.reshape(n_g, group, 2), axis=1)
+
+    i0 = jnp.arange(tx) * tile_px
+    x_lo = multiplier / width * (2 * i0 + 1 - width)
+    x_hi = multiplier / width * (2 * (i0 + tile_px - 1) + 1 - width)
+    r0 = jnp.arange(ty) * tile_px
+    y_hi = multiplier / height * (height - 2 * r0 - 1)
+    y_lo = multiplier / height * (height - 2 * (r0 + tile_px - 1) - 1)
+
+    ox = (gmin[None, :, 0] <= x_hi[:, None]) & \
+        (gmax[None, :, 0] >= x_lo[:, None])                    # (tx, G)
+    oy = (gmin[None, :, 1] <= y_hi[:, None]) & \
+        (gmax[None, :, 1] >= y_lo[:, None])                    # (ty, G)
+    overlap = oy[:, None, :] & ox[None, :, :]
+    occ = jnp.any(overlap.reshape(ty * tx, f_pad // _CHUNK, _CHUNK // group),
+                  axis=-1)
+    return occ.astype(jnp.int32)[:, None, :]          # (T, 1, n_chunks)
+
+
+def _pixel_grids(t, tile_px, tx_n, height, width, multiplier):
+    """Per-tile pixel coords as (P, 1) columns (kernel coords: x right, y up
+    — rasterization_cuda.cu:84-86)."""
+    p = tile_px * tile_px
+    lin = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    r = lin // tile_px
+    c = lin % tile_px
+    row0 = (t // tx_n) * tile_px
+    col0 = (t % tx_n) * tile_px
+    gx = (col0 + c).astype(jnp.float32)
+    gy = (row0 + r).astype(jnp.float32)
+    px = multiplier / width * (2.0 * gx + 1.0 - width)
+    py = multiplier / height * (height - 2.0 * gy - 1.0)
+    return px, py
+
+
+def _face_rows(faces_ref, c0, rows):
+    """Selected (1, 128) rows of the current face chunk."""
+    return [faces_ref[i:i + 1, pl.ds(c0, _CHUNK)] for i in rows]
+
+
+def _edge_candidate(i, px, py, vs, multiplier):
+    """Squared distance candidate for edge ``i`` (perpendicular foot on the
+    segment, else "bad") plus the intermediates its gradient needs."""
+    x = [vs[0], vs[2], vs[4]]
+    y = [vs[1], vs[3], vs[5]]
+    bad = 4.0 * multiplier * multiplier
+    x1, y1 = x[i], y[i]
+    x2, y2 = x[(i + 1) % 3], y[(i + 1) % 3]
+    A = y2 - y1
+    B = x1 - x2
+    C = x2 * y1 - x1 * y2
+    up = A * px + B * py + C
+    down = A * A + B * B
+    inv_down = 1.0 / (down + _EPS)
+    x3 = (B * B * px - A * B * py - A * C) * inv_down
+    y3 = (A * A * py - A * B * px - B * C) * inv_down
+    direct = (x3 - x1) * (x3 - x2) + (y3 - y1) * (y3 - y2)
+    perp = up * up * inv_down
+    cd = jnp.where(direct > 0, bad, perp)
+    return cd, (x1, y1, x2, y2, A, B, up, inv_down)
+
+
+def _vert_candidate(j, px, py, vs):
+    x = [vs[0], vs[2], vs[4]]
+    y = [vs[1], vs[3], vs[5]]
+    return (px - x[j]) ** 2 + (py - y[j]) ** 2
+
+
+def _chunk_distances(px, py, vs, multiplier):
+    """Min squared pixel-face distance over the 6 candidates (3 edges, 3
+    vertices) for one chunk → (P, chunk). Candidates are recomputed by
+    backward sweeps rather than kept live — VMEM is the scarce resource."""
+    d2 = _edge_candidate(0, px, py, vs, multiplier)[0]
+    for i in (1, 2):
+        d2 = jnp.minimum(d2, _edge_candidate(i, px, py, vs, multiplier)[0])
+    for j in range(3):
+        d2 = jnp.minimum(d2, _vert_candidate(j, px, py, vs))
+    return d2
+
+
+def _chunk_inbox(px, py, vs, alive, margin):
+    x = [vs[0], vs[2], vs[4]]
+    y = [vs[1], vs[3], vs[5]]
+    bminx = jnp.minimum(jnp.minimum(x[0], x[1]), x[2]) - margin
+    bmaxx = jnp.maximum(jnp.maximum(x[0], x[1]), x[2]) + margin
+    bminy = jnp.minimum(jnp.minimum(y[0], y[1]), y[2]) - margin
+    bmaxy = jnp.maximum(jnp.maximum(y[0], y[1]), y[2]) + margin
+    return ((px >= bminx) & (px < bmaxx) & (py >= bminy) & (py < bmaxy)
+            & (alive > 0))
+
+
+def _soft_fwd_kernel(faces_ref, occ_ref, out_ref, acc, *, tile_px, tx_n,
+                     height, width, multiplier, sigmainv, boxlen, n_chunks):
+    t = pl.program_id(0)
+    px, py = _pixel_grids(t, tile_px, tx_n, height, width, multiplier)
+    k = sigmainv / (multiplier * multiplier)
+    margin = boxlen * multiplier
+    p = tile_px * tile_px
+    acc[:, :] = jnp.zeros((p, 1), jnp.float32)
+
+    def body(i, _):
+        @pl.when(occ_ref[0, 0, i] != 0)
+        def _():
+            c0 = pl.multiple_of(i * _CHUNK, _CHUNK)
+            vs = _face_rows(faces_ref, c0, range(6))
+            alive = _face_rows(faces_ref, c0, [_R_ALIVE])[0]
+            in_box = _chunk_inbox(px, py, vs, alive, margin)
+            d2 = _chunk_distances(px, py, vs, multiplier)
+            prob = jnp.where(in_box, jnp.exp(-k * d2), 0.0)
+            # Mosaic has no reduce_prod: ∏(1−p) = exp(Σ log(1−p));
+            # p == 1 gives log 0 = −inf → exp −inf = 0, the right limit
+            acc[:, :] += jnp.sum(jnp.log(1.0 - prob), axis=1, keepdims=True)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+    out_ref[0, :, :] = jnp.exp(acc[:, :])
+
+
+def _soft_bwd_kernel(faces_ref, occ_ref, ga_ref, out_ref, *,
+                     tile_px, tx_n, height, width, multiplier, sigmainv,
+                     boxlen, n_chunks):
+    t = pl.program_id(0)
+    px, py = _pixel_grids(t, tile_px, tx_n, height, width, multiplier)
+    k = sigmainv / (multiplier * multiplier)
+    margin = boxlen * multiplier
+
+    # out block is shared by all programs (constant index_map; TPU grids are
+    # sequential): zero once, accumulate per tile — no scatter needed
+    @pl.when(t == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros(out_ref.shape, jnp.float32)
+
+    # ga = −g·allprob precomputed in XLA (one input block, not two —
+    # each (T, P, 1) input block pads its lane dim 1→128 in VMEM)
+    ga = ga_ref[0, :, :]                                       # (P, 1)
+
+    def body(i, _):
+        @pl.when(occ_ref[0, 0, i] != 0)
+        def _():
+            c0 = pl.multiple_of(i * _CHUNK, _CHUNK)
+            vs = _face_rows(faces_ref, c0, range(6))
+            alive = _face_rows(faces_ref, c0, [_R_ALIVE])[0]
+            in_box = _chunk_inbox(px, py, vs, alive, margin)
+            # three recomputation sweeps over the 6 candidates (min, ties,
+            # grads): keeping every candidate live would blow the 16MB VMEM
+            # budget; recomputing them is nearly free on the VPU
+            d2 = _chunk_distances(px, py, vs, multiplier)
+            prob = jnp.where(in_box, jnp.exp(-k * d2), 0.0)
+            num_ties = jnp.zeros_like(d2)
+            for i3 in range(3):
+                cd, _u = _edge_candidate(i3, px, py, vs, multiplier)
+                num_ties += (cd == d2).astype(jnp.float32)
+            for jv in range(3):
+                num_ties += (_vert_candidate(jv, px, py, vs) == d2) \
+                    .astype(jnp.float32)
+            # d allprob/d p_i = −allprob/(1−p_i); d p_i/d d2_i = −k·p_i;
+            # ties split the cotangent evenly (matches jnp.min AD)
+            c = ga / jnp.clip(1.0 - prob, 1e-12, None) * k * prob
+            c = jnp.where(in_box, c, 0.0) / num_ties
+
+            # per-vertex grads: edge jv's first-endpoint term, edge (jv−1)'s
+            # second-endpoint term, and the own vertex-distance term
+            e_g = [None] * 3
+            for i3 in range(3):
+                cd, (x1, y1, x2, y2, A, B, up, inv_down) = _edge_candidate(
+                    i3, px, py, vs, multiplier)
+                ci = jnp.where(cd == d2, c, 0.0)
+                d_val = up * up * inv_down
+                w = ci * inv_down
+                e_g[i3] = (
+                    jnp.sum(w * (2 * up * (py - y2) - d_val * (2 * B)),
+                            axis=0, keepdims=True),
+                    jnp.sum(w * (2 * up * (x2 - px) + d_val * (2 * A)),
+                            axis=0, keepdims=True),
+                    jnp.sum(w * (2 * up * (y1 - py) + d_val * (2 * B)),
+                            axis=0, keepdims=True),
+                    jnp.sum(w * (2 * up * (px - x1) - d_val * (2 * A)),
+                            axis=0, keepdims=True),
+                )
+            xs = [vs[0], vs[2], vs[4]]
+            ys = [vs[1], vs[3], vs[5]]
+            for jv in range(3):
+                cd = _vert_candidate(jv, px, py, vs)
+                cj = jnp.where(cd == d2, c, 0.0)
+                gx = e_g[jv][0] + e_g[(jv + 2) % 3][2] \
+                    + jnp.sum(-2.0 * cj * (px - xs[jv]), axis=0,
+                              keepdims=True)
+                gy = e_g[jv][1] + e_g[(jv + 2) % 3][3] \
+                    + jnp.sum(-2.0 * cj * (py - ys[jv]), axis=0,
+                              keepdims=True)
+                out_ref[2 * jv:2 * jv + 1, pl.ds(c0, _CHUNK)] += gx
+                out_ref[2 * jv + 1:2 * jv + 2, pl.ds(c0, _CHUNK)] += gy
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+
+def soft_mask_fwd_pallas(face_vertices_image, sigmainv, boxlen, multiplier,
+                         height, width, tile_px, interpret=False):
+    """→ allprob (T, P): per-tile ∏(1 − p_i) per pixel."""
+    f = face_vertices_image.shape[0]
+    tx_n = width // tile_px
+    t_n = (height // tile_px) * tx_n
+    p = tile_px * tile_px
+    margin = boxlen * multiplier
+    faces, f_pad = pack_faces(face_vertices_image)
+    occ = chunk_occupancy(jax.lax.stop_gradient(face_vertices_image),
+                          jnp.ones((f,), bool), height, width, multiplier,
+                          tile_px, margin, f_pad)
+    n_chunks = f_pad // _CHUNK
+    kern = functools.partial(
+        _soft_fwd_kernel, tile_px=tile_px, tx_n=tx_n, height=float(height),
+        width=float(width), multiplier=float(multiplier),
+        sigmainv=float(sigmainv), boxlen=float(boxlen), n_chunks=n_chunks)
+    allprob = pl.pallas_call(
+        kern,
+        grid=(t_n,),
+        in_specs=[
+            pl.BlockSpec((_ROWS, f_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_chunks), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, p, 1), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_n, p, 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((p, 1), jnp.float32)],
+        interpret=interpret,
+    )(faces, occ)
+    return allprob[:, :, 0], occ
+
+
+def soft_mask_bwd_pallas(face_vertices_image, occ, g_tiles, allprob,
+                         sigmainv, boxlen, multiplier, height, width,
+                         tile_px, interpret=False):
+    """→ grad w.r.t. face_vertices_image (F, 3, 2)."""
+    ga = -g_tiles * allprob   # soft = 1 − allprob ⇒ cotangent on allprob
+    f = face_vertices_image.shape[0]
+    tx_n = width // tile_px
+    t_n = (height // tile_px) * tx_n
+    p = tile_px * tile_px
+    faces, f_pad = pack_faces(face_vertices_image)
+    n_chunks = f_pad // _CHUNK
+    kern = functools.partial(
+        _soft_bwd_kernel, tile_px=tile_px, tx_n=tx_n, height=float(height),
+        width=float(width), multiplier=float(multiplier),
+        sigmainv=float(sigmainv), boxlen=float(boxlen), n_chunks=n_chunks)
+    grads = pl.pallas_call(
+        kern,
+        grid=(t_n,),
+        in_specs=[
+            pl.BlockSpec((_ROWS, f_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_chunks), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, p, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, f_pad), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, f_pad), jnp.float32),
+        interpret=interpret,
+    )(faces, occ, ga[..., None])
+    return grads[:6, :f].T.reshape(f, 3, 2)

@@ -217,7 +217,7 @@ def _rasterize_search_binned(height, width, face_vertices_z,
 
 def rasterize(height, width, face_vertices_z, face_vertices_image,
               face_features, valid_faces=None, multiplier=None, eps=None,
-              backend=None, tile_px=32, tile_cap=None):
+              backend=None, tile_px=None, tile_cap=None, impl=None):
     """Differentiable rasterization to feature images.
 
     Args:
@@ -237,6 +237,9 @@ def rasterize(height, width, face_vertices_z, face_vertices_image,
         tile_cap: max faces per image tile for the binned backend
             (default min(F, 1024)). Tiles overlapped by more candidate faces
             than this drop the excess (raise it for extreme face density).
+        impl: winner-search implementation for the binned backend — None
+            (auto: Pallas kernel on TPU, XLA elsewhere), "pallas" (force;
+            interpreted off-TPU), or "xla".
 
     Returns:
         (image_features (B, H, W, D) [or list], face_idx (B, H, W) int32,
@@ -258,6 +261,14 @@ def rasterize(height, width, face_vertices_z, face_vertices_image,
         valid_mask = valid_faces.astype(bool)
 
     scaled = face_vertices_image * multiplier
+    if impl is None:
+        from kaolin_tpu.utils.backend import on_tpu
+        impl = "pallas" if on_tpu() else "xla"
+    if tile_px is None:
+        # smaller tiles give the Pallas kernels finer chunk-occupancy
+        # selectivity (less dead work); the XLA binned path amortizes its
+        # per-tile gather better with larger tiles
+        tile_px = 16 if impl == "pallas" else 32
     if backend == "binned" and (height % tile_px or width % tile_px):
         raise ValueError(
             f"backend='binned' needs height/width divisible by tile_px="
@@ -266,7 +277,17 @@ def rasterize(height, width, face_vertices_z, face_vertices_image,
                   or (backend is None and f >= 1024
                       and height % tile_px == 0 and width % tile_px == 0
                       and (height // tile_px) * (width // tile_px) >= 64))
-    if use_binned:
+    if (impl == "pallas" and backend != "brute"
+            and height % tile_px == 0 and width % tile_px == 0):
+        from kaolin_tpu.render.mesh.pallas_rasterize import (
+            rasterize_search_pallas,
+        )
+        from kaolin_tpu.utils.backend import pallas_interpret
+
+        search = lambda z, v, m: rasterize_search_pallas(
+            z, v, m, multiplier, eps, height, width, tile_px,
+            interpret=pallas_interpret())
+    elif use_binned:
         cap = min(f, 512) if tile_cap is None else min(f, tile_cap)
         search = lambda z, v, m: _rasterize_search_binned(
             height, width, z, v, m, multiplier, eps,
