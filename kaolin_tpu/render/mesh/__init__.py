@@ -3,6 +3,7 @@ from kaolin_tpu.render.mesh.dibr import dibr_rasterization, dibr_soft_mask  # no
 from kaolin_tpu.render.mesh.rasterization import (  # noqa: F401
     rasterize,
     suggest_tile_cap,
+    tile_overflow_report,
 )
 from kaolin_tpu.render.mesh.utils import (  # noqa: F401
     prepare_vertices,

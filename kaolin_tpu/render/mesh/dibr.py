@@ -59,9 +59,15 @@ def _edge_vertex_sqdist(px, py, verts, multiplier):
     return jnp.min(jnp.stack(dists, axis=-1), axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width", "tile"))
+@functools.partial(jax.jit, static_argnames=("height", "width", "tile",
+                                              "knum"))
 def _soft_mask_unbatched(face_vertices_image, selected_face_idx, sigmainv,
-                         boxlen, multiplier, height, width, tile=128):
+                         boxlen, multiplier, height, width, tile=128,
+                         knum=None):
+    """All-faces soft mask. ``knum=None`` lets every in-box face contribute;
+    an int reproduces the reference kernel's truncation to the FIRST knum
+    in-box faces per pixel in face-index order
+    (dibr_soft_mask_cuda.cu:164-171: ``kid++; if (kid >= knum) break``)."""
     from kaolin_tpu.render.mesh.rasterization import _pixel_coords
     dtype = face_vertices_image.dtype
     f = face_vertices_image.shape[0]
@@ -77,22 +83,30 @@ def _soft_mask_unbatched(face_vertices_image, selected_face_idx, sigmainv,
     bmax = jnp.max(fvi_t, axis=2) + boxlen * multiplier
 
     @jax.checkpoint  # remat: O(H·W·T) tile intermediates would dominate HBM
-    def body(allprob, inp):
+    def body(carry, inp):
+        allprob, count = carry
         fvi_i, vm_i, bmin_i, bmax_i = inp
         in_box = ((px[..., None] >= bmin_i[None, None, :, 0])
                   & (px[..., None] < bmax_i[None, None, :, 0])
                   & (py[..., None] >= bmin_i[None, None, :, 1])
                   & (py[..., None] < bmax_i[None, None, :, 1])
                   & vm_i[None, None])
+        include = in_box
+        if knum is not None:
+            rank = count[..., None] + jnp.cumsum(in_box.astype(jnp.int32),
+                                                 axis=-1)
+            include = in_box & (rank <= knum)
+            count = count + jnp.sum(in_box.astype(jnp.int32), axis=-1)
         d2 = _edge_vertex_sqdist(px[..., None], py[..., None],
                                  fvi_i[None, None], multiplier)
-        prob = jnp.where(in_box,
+        prob = jnp.where(include,
                          jnp.exp(-sigmainv * d2 / (multiplier * multiplier)),
                          0.0)
-        return allprob * jnp.prod(1.0 - prob, axis=-1), None
+        return (allprob * jnp.prod(1.0 - prob, axis=-1), count), None
 
-    init = jnp.ones((height, width), dtype=dtype)
-    allprob, _ = jax.lax.scan(body, init, (fvi_t, vm_t, bmin, bmax))
+    init = (jnp.ones((height, width), dtype=dtype),
+            jnp.zeros((height, width), dtype=jnp.int32))
+    (allprob, _), _ = jax.lax.scan(body, init, (fvi_t, vm_t, bmin, bmax))
     soft = 1.0 - allprob
     return jnp.where(selected_face_idx >= 0, 1.0, soft)
 
@@ -348,23 +362,34 @@ def _soft_mask_binned(face_vertices_image, selected_face_idx, sigmainv,
 
 def dibr_soft_mask(face_vertices_image, selected_face_idx, sigmainv=7000,
                    boxlen=0.02, knum=30, multiplier=1000.0, tile_px=None,
-                   tile_cap=None, impl=None):
+                   tile_cap=None, impl=None, knum_mode="all"):
     """Soft foreground mask for silhouette losses → (B, H, W). Ref :75.
     Differentiable w.r.t. face_vertices_image.
 
     ``impl``: None (auto — fused Pallas kernels on TPU, XLA elsewhere),
     "pallas" (force; interpreted off-TPU, slow — for parity tests), or
-    "xla"."""
-    del knum  # all faces participate (see module docstring)
+    "xla".
+
+    ``knum_mode``: "all" (default) lets every in-box face contribute —
+    strictly more accurate than the reference, which truncates each pixel to
+    its first ``knum`` in-box faces in face-index order
+    (dibr_soft_mask_cuda.cu:164-171); "first" reproduces that truncation
+    exactly (runs on the all-faces XLA path)."""
     height, width = selected_face_idx.shape[1:3]
     f = face_vertices_image.shape[1]
     scaled = face_vertices_image * multiplier
+    if knum_mode not in ("all", "first"):
+        raise ValueError(f"unknown knum_mode {knum_mode!r}")
     if impl is None:
         from kaolin_tpu.utils.backend import on_tpu
         impl = "pallas" if on_tpu() else "xla"
     if tile_px is None:
         tile_px = 16 if impl == "pallas" else 32
-    if ((impl == "pallas" or f >= 1024)
+    if knum_mode == "first":
+        fn = lambda v, s: _soft_mask_unbatched(v, s, sigmainv, boxlen,
+                                               multiplier, height, width,
+                                               knum=int(knum))
+    elif ((impl == "pallas" or f >= 1024)
             and height % tile_px == 0 and width % tile_px == 0
             and (height // tile_px) * (width // tile_px) >= 4):
         cap = min(f, 512) if tile_cap is None else min(f, tile_cap)

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["rasterize", "suggest_tile_cap"]
+__all__ = ["rasterize", "suggest_tile_cap", "tile_overflow_report"]
 
 DEFAULT_MULTIPLIER = 1000
 DEFAULT_EPS = 1e-8
@@ -92,6 +92,38 @@ def _rasterize_search(height, width, face_vertices_z, face_vertices_image,
     return jnp.where(jnp.isfinite(best_z), best_i, -1)
 
 
+def _tile_overlap(face_vertices_image, valid_mask, height, width, multiplier,
+                  tile_px, margin=0.0):
+    """(num_tiles, F) bool: face (margin-enlarged) bbox ∩ tile rect non-empty
+    (with the kernel's half-open x >= xmin, x < xmax convention approximated
+    by closed intervals). Tile rects are in kernel pixel coords: pixel
+    centers at index i sit at mult/total*(2i+1-total); y decreases with row
+    index (kernel y = mult/H*(H-2r-1))."""
+    f = face_vertices_image.shape[0]
+    ty = height // tile_px
+    tx = width // tile_px
+    fmin = jnp.min(face_vertices_image, axis=1) - margin  # (F, 2) x,y
+    fmax = jnp.max(face_vertices_image, axis=1) + margin
+
+    def tile_edges(n_tiles, size, total):
+        i0 = jnp.arange(n_tiles) * size
+        i1 = i0 + size - 1
+        lo = multiplier / total * (2 * i0 + 1 - total)
+        hi = multiplier / total * (2 * i1 + 1 - total)
+        return lo, hi
+
+    x_lo, x_hi = tile_edges(tx, tile_px, width)
+    r0 = jnp.arange(ty) * tile_px
+    r1 = r0 + tile_px - 1
+    y_hi = multiplier / height * (height - 2 * r0 - 1)
+    y_lo = multiplier / height * (height - 2 * r1 - 1)
+
+    ox = (fmin[None, :, 0] <= x_hi[:, None]) & (fmax[None, :, 0] >= x_lo[:, None])
+    oy = (fmin[None, :, 1] <= y_hi[:, None]) & (fmax[None, :, 1] >= y_lo[:, None])
+    overlap = (oy[:, None, :] & ox[None, :, :]) & valid_mask[None, None]
+    return overlap.reshape(ty * tx, f)
+
+
 def bin_faces_to_tiles(face_vertices_image, valid_mask, height, width,
                        multiplier, tile_px, cap, margin=0.0):
     """Bin faces to image tiles by bbox overlap (the TPU equivalent of the
@@ -101,36 +133,8 @@ def bin_faces_to_tiles(face_vertices_image, valid_mask, height, width,
     overflow flag). ``num_tiles = (H/tile_px) * (W/tile_px)``, row-major.
     """
     f = face_vertices_image.shape[0]
-    ty = height // tile_px
-    tx = width // tile_px
-    fmin = jnp.min(face_vertices_image, axis=1) - margin  # (F, 2) x,y
-    fmax = jnp.max(face_vertices_image, axis=1) + margin
-
-    # tile rects in kernel pixel coords: x0 spans [mult/W*(2c+1-W)] for the
-    # c-th column; tile column j covers x in [x_left(j), x_right(j)]
-    def tile_edges(n_tiles, size, total):
-        # pixel centers at index i: mult/total*(2i+1-total); tile j covers
-        # pixel indices [j*size, (j+1)*size - 1]
-        i0 = jnp.arange(n_tiles) * size
-        i1 = i0 + size - 1
-        lo = multiplier / total * (2 * i0 + 1 - total)
-        hi = multiplier / total * (2 * i1 + 1 - total)
-        return lo, hi
-
-    x_lo, x_hi = tile_edges(tx, tile_px, width)
-    # y decreases with row index (kernel y = mult/H*(H-2r-1))
-    r0 = jnp.arange(ty) * tile_px
-    r1 = r0 + tile_px - 1
-    y_hi = multiplier / height * (height - 2 * r0 - 1)
-    y_lo = multiplier / height * (height - 2 * r1 - 1)
-
-    # overlap: face bbox ∩ tile rect non-empty (with the kernel's half-open
-    # x >= xmin, x < xmax convention approximated by closed intervals)
-    ox = (fmin[None, :, 0] <= x_hi[:, None]) & (fmax[None, :, 0] >= x_lo[:, None])
-    oy = (fmin[None, :, 1] <= y_hi[:, None]) & (fmax[None, :, 1] >= y_lo[:, None])
-    # (ty, tx, F)
-    overlap = (oy[:, None, :] & ox[None, :, :]) & valid_mask[None, None]
-    overlap = overlap.reshape(ty * tx, f)
+    overlap = _tile_overlap(face_vertices_image, valid_mask, height, width,
+                            multiplier, tile_px, margin)
 
     # compact set bits per row via top_k (much faster than vmapped nonzero):
     # keys = f - id for overlapping faces, 0 otherwise; top-cap keys descend
@@ -143,6 +147,44 @@ def bin_faces_to_tiles(face_vertices_image, valid_mask, height, width,
                              constant_values=-1)
     overflow = jnp.sum(overlap, axis=1) > cap
     return tile_faces, overflow
+
+
+def tile_overflow_report(face_vertices_image, height, width, valid_faces=None,
+                         multiplier=None, tile_px=32, tile_cap=512,
+                         margin_boxlen=0.0):
+    """Capacity-overflow surfacing for the XLA binned backends (jittable).
+
+    The capacity-binned XLA rasterizer/soft-mask silently drop faces on
+    tiles overlapped by more than ``tile_cap`` candidates (the Pallas TPU
+    paths have no capacity and cannot drop). Call this with the same
+    ``tile_px``/``tile_cap``/boxlen to check a workload:
+
+    Returns a dict of jnp scalars per batch element:
+    ``any_overflow`` (bool (B,)), ``num_overflowing_tiles`` (int (B,)),
+    ``max_overlap`` (int (B,) — pass a cap ≥ this for exactness).
+    """
+    if multiplier is None:
+        multiplier = DEFAULT_MULTIPLIER
+    fvi = jnp.asarray(face_vertices_image)
+    if fvi.ndim == 3:
+        fvi = fvi[None]
+    b, f = fvi.shape[:2]
+    if valid_faces is None:
+        valid_faces = jnp.ones((b, f), dtype=bool)
+    scaled = fvi * multiplier
+    margin = margin_boxlen * multiplier
+
+    def one(v, m):
+        overlap = _tile_overlap(v, m, height, width, multiplier, tile_px,
+                                margin)
+        counts = jnp.sum(overlap.astype(jnp.int32), axis=1)
+        overflow = counts > tile_cap
+        return (jnp.any(overflow), jnp.sum(overflow.astype(jnp.int32)),
+                jnp.max(counts))
+
+    any_o, num_o, max_c = jax.vmap(one)(scaled, valid_faces.astype(bool))
+    return {"any_overflow": any_o, "num_overflowing_tiles": num_o,
+            "max_overlap": max_c}
 
 
 def suggest_tile_cap(face_vertices_image, height, width, multiplier=None,
