@@ -26,13 +26,14 @@ from kaolin_tpu.render.spc import (
     unbatched_raytrace,
 )
 
-LEVEL = 4
 
 
-@pytest.fixture(scope="module")
-def spc():
+@pytest.fixture(scope="module", params=[4, 6],
+                ids=["level4", "level6"])
+def spc(request):
+    lvl = request.param
     rng = np.random.RandomState(0)
-    res = 2 ** LEVEL
+    res = 2 ** lvl
     # random sparse voxels + a solid slab for guaranteed hits
     pts = set()
     for p in rng.randint(0, res, (60, 3)):
@@ -41,11 +42,11 @@ def spc():
         for y in range(4, 8):
             pts.add((x, y, 7))
     pts = np.array(sorted(pts), dtype=np.int16)
-    octree = unbatched_points_to_octree(jnp.asarray(pts), LEVEL)
+    octree = unbatched_points_to_octree(jnp.asarray(pts), lvl)
     lengths = np.array([len(octree)], dtype=np.int32)
     level, pyramids, exsum = scan_octrees(octree, lengths)
     ph = generate_points(octree, pyramids, exsum)
-    return octree, ph, np.asarray(pyramids)[0], exsum, pts
+    return octree, ph, np.asarray(pyramids)[0], exsum, pts, lvl
 
 
 def _brute_force_hits(origin, direction, voxels, level):
@@ -74,7 +75,7 @@ def _brute_force_hits(origin, direction, voxels, level):
 
 
 def test_raytrace_matches_brute_force(spc):
-    octree, ph, pyramid, exsum, voxels = spc
+    octree, ph, pyramid, exsum, voxels, lvl = spc
     rng = np.random.RandomState(1)
     n_rays = 40
     origins = np.full((n_rays, 3), 0.0, dtype=np.float32)
@@ -87,17 +88,17 @@ def test_raytrace_matches_brute_force(spc):
 
     ridx, pidx, depth = unbatched_raytrace(
         octree, ph, pyramid, exsum, jnp.asarray(origins), jnp.asarray(dirs),
-        LEVEL, return_depth=True, with_exit=False)
+        lvl, return_depth=True, with_exit=False)
     ridx = np.asarray(ridx)
     pidx = np.asarray(pidx)
     depth = np.asarray(depth)[:, 0]
-    start = int(pyramid[1, LEVEL])
+    start = int(pyramid[1, lvl])
     leaf_pts = np.asarray(ph)[start:]
 
     for r in range(n_rays):
         mine = [(d, tuple(leaf_pts[p - start]))
                 for d, p in zip(depth[ridx == r], pidx[ridx == r])]
-        want = _brute_force_hits(origins[r], dirs[r], voxels, LEVEL)
+        want = _brute_force_hits(origins[r], dirs[r], voxels, lvl)
         assert len(mine) == len(want), (r, len(mine), len(want))
         # same voxels in the same (front-to-back) order
         assert [v for _, v in mine] == [v for _, v in want], r
@@ -106,17 +107,17 @@ def test_raytrace_matches_brute_force(spc):
 
 
 def test_raytrace_with_exit(spc):
-    octree, ph, pyramid, exsum, voxels = spc
+    octree, ph, pyramid, exsum, voxels, lvl = spc
     origins = jnp.asarray([[0.45, 0.45, -3.0]], dtype=jnp.float32)
     dirs = jnp.asarray([[0.0, 0.0, 1.0]], dtype=jnp.float32)
     ridx, pidx, depth = unbatched_raytrace(
-        octree, ph, pyramid, exsum, origins, dirs, LEVEL,
+        octree, ph, pyramid, exsum, origins, dirs, lvl,
         return_depth=True, with_exit=True)
     depth = np.asarray(depth)
     assert depth.shape[1] == 2
     assert (depth[:, 1] > depth[:, 0]).all()
     # voxel thickness along an axis-aligned ray = 2/res
-    np.testing.assert_allclose(depth[:, 1] - depth[:, 0], 2 / 2 ** LEVEL,
+    np.testing.assert_allclose(depth[:, 1] - depth[:, 0], 2 / 2 ** lvl,
                                atol=1e-4)
 
 
