@@ -87,9 +87,40 @@ class CachedDataset:
         return item
 
     def _preprocess_all(self, num_workers):
-        # in-process loop: multiprocessing with jax arrays is unsafe; the
-        # reference uses torch.multiprocessing.Pool (io/dataset.py:199-201)
-        for i in range(len(self)):
+        """Preprocess every item up front, in parallel across host processes
+        (the analog of the reference's ``torch.multiprocessing.Pool``,
+        io/dataset.py:199-201).
+
+        Workers run in a *spawn* context — fork is unsafe once jax/XLA is
+        initialized in the parent — and write the pickled numpy caches
+        themselves, so nothing heavy flows back through the pool. Requires
+        ``source`` and ``preprocessing_transform`` to be picklable; if the
+        pool cannot be set up (unpicklable closures, restricted platforms),
+        falls back to the serial in-process loop."""
+        todo = [i for i in range(len(self))
+                if self.force_overwrite
+                or not os.path.exists(self._cache_path(i))]
+        if not todo:
+            return
+        if num_workers and num_workers > 1:
+            import multiprocessing as mp
+            try:
+                ctx = mp.get_context("spawn")
+                with ctx.Pool(
+                        min(num_workers, len(todo)),
+                        initializer=_pool_init,
+                        initargs=(self.source, self.preprocessing_transform,
+                                  self.cache_dir)) as pool:
+                    for _ in pool.imap_unordered(_pool_preprocess, todo,
+                                                 chunksize=4):
+                        pass
+                return
+            except Exception as e:  # unpicklable source/transform, etc.
+                import warnings
+                warnings.warn(
+                    f"parallel preprocessing failed ({e!r}); "
+                    "falling back to serial")
+        for i in todo:
             self._get_preprocessed(i)
 
     def __len__(self):
@@ -100,6 +131,31 @@ class CachedDataset:
         if self.transform is not None:
             item = self.transform(item)
         return item
+
+
+_POOL_STATE = {}
+
+
+def _pool_init(source, preprocessing_transform, cache_dir):
+    # runs once per spawned worker; keep device use off — force CPU so
+    # workers never grab the TPU the parent may hold
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    _POOL_STATE["source"] = source
+    _POOL_STATE["transform"] = preprocessing_transform
+    _POOL_STATE["cache_dir"] = cache_dir
+
+
+def _pool_preprocess(index):
+    item = _POOL_STATE["source"][index]
+    transform = _POOL_STATE["transform"]
+    if transform is not None:
+        item = transform(item)
+    path = os.path.join(_POOL_STATE["cache_dir"], f"item_{index:08d}.pkl")
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        pickle.dump(_to_numpy(item), f)
+    os.replace(tmp, path)
+    return index
 
 
 def _to_numpy(tree):

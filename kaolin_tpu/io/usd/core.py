@@ -216,7 +216,23 @@ def _parse_usda(file_path):
     """Very small USDA parser: prim blocks with flat attributes and
     timeSamples. Returns a list of dicts with full hierarchy paths:
     {"type", "name", "path", "parent", "body"} (body excludes nested
-    prims)."""
+    prims).
+
+    Only the text USDA format is supported (this suite is dependency-free
+    by design — the reference calls pxr/usd-core). Binary .usdc / zipped
+    .usdz files are detected by magic and rejected with a clear error."""
+    with open(file_path, "rb") as f:
+        head = f.read(8)
+    if head.startswith(b"PXR-USDC"):
+        raise ValueError(
+            f"{file_path} is a binary USD (usdc) file; only text USDA is "
+            "supported. Convert with `usdcat in.usd -o out.usda` "
+            "(usd-core package) and retry.")
+    if head.startswith(b"PK\x03\x04"):
+        raise ValueError(
+            f"{file_path} is a zipped USDZ package; only text USDA is "
+            "supported. Unzip it and convert the inner .usdc with "
+            "`usdcat in.usd -o out.usda` (usd-core package) and retry.")
     with open(file_path) as f:
         src = f.read()
 

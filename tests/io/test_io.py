@@ -184,3 +184,70 @@ def test_cached_dataset(tmp_path):
     np.testing.assert_allclose(a["x"], 2.0)
     np.testing.assert_allclose(np.asarray(b["x"]), np.asarray(a["x"]))
     assert len(calls) == 1  # second access was cached
+
+
+class _PicklableSource:
+    """Module-level so spawn workers can unpickle it."""
+
+    def __len__(self):
+        return 6
+
+    def __getitem__(self, i):
+        return {"x": np.full((4,), i, dtype=np.float32)}
+
+
+def _picklable_preprocess(item):
+    return {"x": item["x"] * 3}
+
+
+def test_cached_dataset_parallel_preprocessing(tmp_path):
+    """num_workers > 1 preprocesses ahead of time in a spawn process pool
+    (ref io/dataset.py:199-201 Pool) — caches exist before first access."""
+    cache = tmp_path / "cache_par"
+    ds = kio.CachedDataset(_PicklableSource(),
+                           preprocessing_transform=_picklable_preprocess,
+                           cache_dir=str(cache), num_workers=2)
+    cached = sorted(p.name for p in cache.iterdir())
+    assert cached == [f"item_{i:08d}.pkl" for i in range(6)]
+    for i in range(6):
+        np.testing.assert_allclose(np.asarray(ds[i]["x"]), 3.0 * i)
+
+
+def test_cached_dataset_parallel_fallback_serial(tmp_path):
+    """Unpicklable transforms (closures) fall back to the serial loop with a
+    warning instead of failing."""
+    import warnings
+    seen = []
+
+    class Source:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            return np.full((2,), i, dtype=np.float32)
+
+    def preprocess(item):  # closure-local: not picklable by spawn
+        seen.append(1)
+        return item + 1
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ds = kio.CachedDataset(Source(), preprocessing_transform=preprocess,
+                               cache_dir=str(tmp_path / "cache_fb"),
+                               num_workers=4)
+    assert len(seen) == 2  # serial fallback ran everything
+    np.testing.assert_allclose(np.asarray(ds[1]), 2.0)
+
+
+def test_usd_binary_rejected_with_clear_error(tmp_path):
+    """Binary usdc / zipped usdz inputs produce a crisp unsupported-format
+    error instead of an obscure parse failure (text USDA only by design)."""
+    import pytest
+    usdc = tmp_path / "model.usdc"
+    usdc.write_bytes(b"PXR-USDC" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="binary USD"):
+        kio.usd.import_meshes(str(usdc))
+    usdz = tmp_path / "model.usdz"
+    usdz.write_bytes(b"PK\x03\x04" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="USDZ"):
+        kio.usd.import_meshes(str(usdz))
