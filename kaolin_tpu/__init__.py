@@ -31,6 +31,7 @@ _jax.config.update("jax_default_matmul_precision", "float32")
 from kaolin_tpu import io         # noqa: F401
 from kaolin_tpu import math       # noqa: F401
 from kaolin_tpu import metrics    # noqa: F401
+from kaolin_tpu import non_commercial  # noqa: F401
 from kaolin_tpu import ops        # noqa: F401
 from kaolin_tpu import parallel   # noqa: F401
 from kaolin_tpu import physics    # noqa: F401

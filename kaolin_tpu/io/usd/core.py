@@ -19,6 +19,7 @@ from kaolin_tpu.rep.surface_mesh import SurfaceMesh
 __all__ = [
     "UsdaStage", "create_stage", "add_mesh", "add_pointcloud",
     "add_voxelgrid", "export_mesh", "export_meshes", "export_pointcloud",
+    "get_face_uvs_idx", "set_normals",
     "import_mesh", "import_meshes", "import_pointcloud",
 ]
 
@@ -290,40 +291,125 @@ def _extract_attr(body, name):
     return default, samples
 
 
-def import_meshes(file_path, time=None):
-    """All Mesh prims → list of SurfaceMesh. Ref ``usd/mesh.py:356``."""
+def _extract_interpolation(body, name):
+    """The USDA ``( interpolation = "..." )`` metadata block following an
+    attribute, or None."""
+    m = re.search(
+        re.escape(name)
+        + r'\s*=\s*\[[^\]]*\]\s*\(\s*[^)]*interpolation\s*=\s*"(\w+)"',
+        body)
+    return m.group(1) if m else None
+
+
+def get_face_uvs_idx(faces, face_sizes, uvs, uv_idx, uv_interpolation,
+                     **kwargs):
+    """Resolve USD uv primvar interpolation into per-face-vertex uv indices
+    (ref ``usd/mesh.py:257``): 'vertex'/'varying' index uvs by the mesh
+    vertex indices; 'faceVarying' enumerates one uv per face-vertex."""
+    faces = np.asarray(faces)
+    if uv_interpolation in ("vertex", "varying"):
+        if uv_idx is None:
+            if uvs is None:
+                raise ValueError("Neither uvs nor uv_idx are set")
+            uv_idx = np.arange(len(uvs))
+        return np.asarray(uv_idx)[faces]
+    if uv_interpolation == "faceVarying":
+        if uv_idx is None:
+            uv_idx = np.arange(int(np.sum(face_sizes)))
+        return np.asarray(uv_idx)
+    raise NotImplementedError(
+        f"Interpolation type {uv_interpolation} is not supported")
+
+
+def set_normals(geo):
+    """Route raw USD normals into the right SurfaceMesh slot by their
+    interpolation (ref ``usd/mesh.py:279``): 'faceVarying' → face_normals,
+    'vertex' → vertex_normals."""
+    normals_interpolation = geo.get("normals_interpolation")
+    if normals_interpolation == "faceVarying":
+        geo["face_normals"] = geo.get("normals")
+    elif normals_interpolation == "vertex":
+        geo["vertex_normals"] = geo.get("normals")
+    else:
+        raise NotImplementedError(
+            f"Interpolation type {normals_interpolation} is not supported")
+
+
+def _attr_text(body, name, time):
+    default, samples = _extract_attr(body, name)
+    if time is not None and samples:
+        return samples[min(samples, key=lambda t: abs(t - time))]
+    return default or next(iter(samples.values()), None)
+
+
+def import_meshes(file_path, time=None, with_normals=True, with_uvs=True):
+    """All Mesh prims → list of SurfaceMesh (points, faces, uvs +
+    face_uvs_idx and normals resolved per their primvar interpolation).
+    Ref ``usd/mesh.py:356``."""
     out = []
     for prim in _parse_usda(file_path):
         if prim["type"] != "Mesh":
             continue
         body = prim["body"]
-        pts_default, pts_samples = _extract_attr(body, "points")
-        if time is not None and pts_samples:
-            key = min(pts_samples, key=lambda t: abs(t - time))
-            pts_text = pts_samples[key]
-        else:
-            pts_text = pts_default or (pts_samples[min(pts_samples)]
-                                       if pts_samples else None)
+        pts_text = _attr_text(body, "points", time)
         if pts_text is None:
             continue
         vertices = _parse_vec_array(pts_text)
-        idx_text = _extract_attr(body, "faceVertexIndices")
-        counts_text = _extract_attr(body, "faceVertexCounts")
-        idx_val = idx_text[0] or next(iter(idx_text[1].values()), None)
-        counts_val = counts_text[0] or next(iter(counts_text[1].values()), None)
+        idx_val = _attr_text(body, "faceVertexIndices", None)
+        counts_val = _attr_text(body, "faceVertexCounts", None)
         kwargs = dict(vertices=jnp.asarray(vertices))
+        homogeneous = False
+        counts = None
         if idx_val is not None and counts_val is not None:
             idx = _parse_int_array(idx_val)
             counts = _parse_int_array(counts_val)
             if counts.size and (counts == counts[0]).all():
                 kwargs["faces"] = jnp.asarray(idx.reshape(-1, counts[0]))
+                homogeneous = True
             else:
                 from kaolin_tpu.io.utils import mesh_handler_naive_triangulate
                 v2, c2, idx2 = mesh_handler_naive_triangulate(
                     vertices, counts, idx)
                 kwargs["vertices"] = jnp.asarray(v2)
                 kwargs["faces"] = jnp.asarray(idx2.reshape(-1, 3))
-        out.append(SurfaceMesh(**kwargs))
+        if homogeneous:
+            fsz = int(counts[0])
+            if with_uvs:
+                uv_text = _attr_text(body, "primvars:st", time)
+                if uv_text is not None:
+                    uvs = _parse_vec_array(uv_text, per=2)
+                    uvi_text = _attr_text(body, "primvars:st:indices", None)
+                    uv_idx = (_parse_int_array(uvi_text)
+                              if uvi_text is not None else None)
+                    interp = _extract_interpolation(body, "primvars:st") \
+                        or "faceVarying"
+                    try:
+                        fuv_idx = get_face_uvs_idx(
+                            np.asarray(kwargs["faces"]), counts, uvs, uv_idx,
+                            interp)
+                        kwargs["uvs"] = jnp.asarray(uvs)
+                        kwargs["face_uvs_idx"] = jnp.asarray(
+                            np.asarray(fuv_idx).reshape(-1, fsz))
+                    except (NotImplementedError, ValueError):
+                        kwargs["uvs"] = jnp.asarray(uvs)
+            if with_normals:
+                n_text = _attr_text(body, "normals", time)
+                if n_text is not None:
+                    geo = {"normals": _parse_vec_array(n_text),
+                           "normals_interpolation":
+                               _extract_interpolation(body, "normals")
+                               or "faceVarying"}
+                    try:
+                        set_normals(geo)
+                        if "face_normals" in geo:
+                            kwargs["face_normals"] = jnp.asarray(
+                                geo["face_normals"].reshape(-1, fsz, 3))
+                        elif "vertex_normals" in geo:
+                            kwargs["vertex_normals"] = jnp.asarray(
+                                geo["vertex_normals"])
+                    except NotImplementedError:
+                        pass
+        out.append(SurfaceMesh(**kwargs, strict_checks=False))
     return out
 
 

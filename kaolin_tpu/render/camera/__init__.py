@@ -1,9 +1,12 @@
-from kaolin_tpu.render.camera.camera import Camera  # noqa: F401
+from kaolin_tpu.render.camera.camera import Camera, allclose  # noqa: F401
 from kaolin_tpu.render.camera.coordinates import blender_coords, opengl_coords  # noqa: F401
 from kaolin_tpu.render.camera.extrinsics import CameraExtrinsics  # noqa: F401
 from kaolin_tpu.render.camera.intrinsics import (  # noqa: F401
     CameraFOV,
     CameraIntrinsics,
+    IntrinsicsParamsDefEnum,
+    OrthoParamsDefEnum,
+    PinholeParamsDefEnum,
     OrthographicIntrinsics,
     PinholeIntrinsics,
     down_from_homogeneous,
@@ -44,6 +47,7 @@ from kaolin_tpu.render.camera.polyscope import (  # noqa: F401
     polyscope_camera_to_kaolin,
 )
 from kaolin_tpu.render.camera.extrinsics_backends import (  # noqa: F401
+    ExtrinsicsParamsDefEnum,
     ExtrinsicsRep,
     register_backend,
 )

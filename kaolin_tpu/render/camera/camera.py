@@ -171,3 +171,14 @@ class Camera:
     def __repr__(self):
         return (f"Camera(num_cameras={len(self)}, lens={self.lens_type!r}, "
                 f"res={self.width}x{self.height})")
+
+
+def allclose(input, other, rtol=1e-05, atol=1e-08, equal_nan=False):
+    """Closeness of two Cameras: extrinsics and intrinsics both close.
+    Ref camera.py (allclose)."""
+    from kaolin_tpu.render.camera import extrinsics as _ext
+    from kaolin_tpu.render.camera import intrinsics as _int
+    return (_ext.allclose(input.extrinsics, other.extrinsics, rtol=rtol,
+                          atol=atol, equal_nan=equal_nan)
+            and _int.allclose(input.intrinsics, other.intrinsics, rtol=rtol,
+                              atol=atol, equal_nan=equal_nan))

@@ -263,3 +263,14 @@ class CameraExtrinsics:
     def named_params(self):
         return [{"R": np.asarray(self.R[i]), "t": np.asarray(self.t[i, :, 0])}
                 for i in range(len(self))]
+
+
+def allclose(input, other, rtol=1e-05, atol=1e-08, equal_nan=False):
+    """Elementwise-closeness of two CameraExtrinsics (same backend and
+    close params). Ref extrinsics.py:1240."""
+    import numpy as np
+    return (input.backend == other.backend
+            and np.asarray(input.params).shape == np.asarray(other.params).shape
+            and bool(np.allclose(np.asarray(input.params),
+                                 np.asarray(other.params), rtol=rtol,
+                                 atol=atol, equal_nan=equal_nan)))

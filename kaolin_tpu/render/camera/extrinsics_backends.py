@@ -8,6 +8,7 @@ built-ins ("matrix_se3", "matrix_6dof_rotation") are implemented directly in
 consulted for any other name.
 """
 
+import enum
 from abc import ABC, abstractmethod
 
 __all__ = ["ExtrinsicsRep", "register_backend", "get_backend"]
@@ -48,3 +49,10 @@ def register_backend(name):
 
 def get_backend(name):
     return _BACKEND_REGISTRY.get(name)
+
+
+class ExtrinsicsParamsDefEnum(enum.IntEnum):
+    """Semantic slots every extrinsics backend exposes (ref
+    extrinsics_backends.py:34): the camera axes orientation and center."""
+    R = 0
+    t = 1

@@ -278,3 +278,36 @@ class OrthographicIntrinsics(CameraIntrinsics):
         params = jnp.clip(self.params + amount, 1e-5, None)
         return OrthographicIntrinsics(self.width, self.height, params, self.near,
                                       self.far, self.ndc_min, self.ndc_max)
+
+
+class IntrinsicsParamsDefEnum(enum.IntEnum):
+    """Base for enums naming the slots of an intrinsics params vector."""
+
+
+class PinholeParamsDefEnum(IntrinsicsParamsDefEnum):
+    """Pinhole params layout (ref intrinsics_pinhole.py:27); axis skew is
+    always assumed zero."""
+    x0 = 0
+    y0 = 1
+    focal_x = 2
+    focal_y = 3
+
+
+class OrthoParamsDefEnum(IntrinsicsParamsDefEnum):
+    """Orthographic params layout (ref intrinsics_ortho.py:26): a single
+    zoom scale, measured in distance units."""
+    fov_distance = 0
+
+
+def allclose(input, other, rtol=1e-05, atol=1e-08, equal_nan=False):
+    """Elementwise-closeness of two CameraIntrinsics of the same lens type
+    and canvas. Ref intrinsics.py (allclose)."""
+    import numpy as np
+    return (type(input) is type(other)
+            and input.width == other.width and input.height == other.height
+            and np.isclose(input.near, other.near, rtol=rtol, atol=atol)
+            and np.isclose(input.far, other.far, rtol=rtol, atol=atol)
+            and np.asarray(input.params).shape == np.asarray(other.params).shape
+            and bool(np.allclose(np.asarray(input.params),
+                                 np.asarray(other.params), rtol=rtol,
+                                 atol=atol, equal_nan=equal_nan)))

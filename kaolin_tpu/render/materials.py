@@ -8,7 +8,8 @@ the reference with hwc()/chw() converters.
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["Material", "PBRMaterial", "random_material_values",
+__all__ = ["Material", "PBRMaterial", "random_material_colorspaces",
+           "random_material_values",
            "random_material_textures"]
 
 _VALUE_ATTRS = [
@@ -116,3 +117,14 @@ def random_material_textures(key=None, res=16):
         diffuse_texture=rng.rand(3, res, res).astype(np.float32),
         roughness_texture=rng.rand(1, res, res).astype(np.float32),
     )
+
+
+def random_material_colorspaces(key=None):
+    """Random 'auto'/'raw' colorspace assignment for every PBR texture slot.
+    Ref materials.py:574."""
+    import random as _random
+    rng = _random.Random(None if key is None else int(key))
+    slots = ["diffuse", "roughness", "metallic", "clearcoat",
+             "clearcoat_roughness", "opacity", "ior", "specular", "normals",
+             "displacement", "transmittance"]
+    return {f"{s}_colorspace": rng.choice(["auto", "raw"]) for s in slots}

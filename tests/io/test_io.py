@@ -251,3 +251,72 @@ def test_usd_binary_rejected_with_clear_error(tmp_path):
     usdz.write_bytes(b"PK\x03\x04" + b"\x00" * 64)
     with pytest.raises(ValueError, match="USDZ"):
         kio.usd.import_meshes(str(usdz))
+
+
+def test_usd_uv_normal_interpolation_roundtrip(tmp_path):
+    """USD meshes with vertex- and faceVarying-interpolated primvars resolve
+    into the right SurfaceMesh slots (ref usd/mesh.py:257,279)."""
+    usda = tmp_path / "interp.usda"
+    usda.write_text('''#usda 1.0
+
+def Mesh "quadThing"
+{
+    point3f[] points = [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0)]
+    int[] faceVertexCounts = [3, 3]
+    int[] faceVertexIndices = [0, 1, 2, 0, 2, 3]
+    texCoord2f[] primvars:st = [(0, 0), (1, 0), (1, 1), (0, 1)] (
+        interpolation = "vertex"
+    )
+    normal3f[] normals = [(0, 0, 1), (0, 0, 1), (0, 0, 1), (0, 0, 1)] (
+        interpolation = "vertex"
+    )
+}
+''')
+    meshes = kio.usd.import_meshes(str(usda))
+    assert len(meshes) == 1
+    m = meshes[0]
+    assert m.faces.shape == (2, 3)
+    assert m.uvs.shape == (4, 2)
+    # vertex interpolation: face_uvs_idx == faces
+    np.testing.assert_array_equal(np.asarray(m.face_uvs_idx),
+                                  np.asarray(m.faces))
+    assert m.vertex_normals.shape == (4, 3)
+    np.testing.assert_allclose(np.asarray(m.vertex_normals)[:, 2], 1.0)
+
+    facevar = tmp_path / "facevar.usda"
+    facevar.write_text('''#usda 1.0
+
+def Mesh "tri"
+{
+    point3f[] points = [(0, 0, 0), (1, 0, 0), (0, 1, 0)]
+    int[] faceVertexCounts = [3]
+    int[] faceVertexIndices = [0, 1, 2]
+    texCoord2f[] primvars:st = [(0, 0), (1, 0), (0, 1)] (
+        interpolation = "faceVarying"
+    )
+    normal3f[] normals = [(0, 0, 1), (0, 0, 1), (0, 0, 1)] (
+        interpolation = "faceVarying"
+    )
+}
+''')
+    m2 = kio.usd.import_meshes(str(facevar))[0]
+    np.testing.assert_array_equal(np.asarray(m2.face_uvs_idx), [[0, 1, 2]])
+    assert m2.face_normals.shape == (1, 3, 3)
+
+
+def test_get_face_uvs_idx_semantics():
+    from kaolin_tpu.io.usd import get_face_uvs_idx, set_normals
+    import pytest
+    faces = np.array([[0, 1, 2], [0, 2, 3]])
+    uvs = np.zeros((4, 2))
+    out = get_face_uvs_idx(faces, [3, 3], uvs, None, "vertex")
+    np.testing.assert_array_equal(out, faces)
+    out = get_face_uvs_idx(faces, [3, 3], uvs, None, "faceVarying")
+    np.testing.assert_array_equal(out, np.arange(6))
+    with pytest.raises(NotImplementedError):
+        get_face_uvs_idx(faces, [3, 3], uvs, None, "uniform")
+    with pytest.raises(ValueError):
+        get_face_uvs_idx(faces, [3, 3], None, None, "vertex")
+    geo = {"normals": np.zeros((4, 3)), "normals_interpolation": "vertex"}
+    set_normals(geo)
+    assert "vertex_normals" in geo

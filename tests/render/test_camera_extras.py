@@ -68,3 +68,45 @@ def test_timelapse_roundtrip(tmp_path):
     pts, _ = usd_io.import_pointcloud(
         parser.get_file_path("pointcloud", "pc", 0), time=10)
     np.testing.assert_allclose(np.asarray(pts), v * 11, atol=1e-4)
+
+
+def test_camera_allclose_and_param_enums():
+    import jax.numpy as jnp
+    from kaolin_tpu.render.camera import (
+        Camera, ExtrinsicsParamsDefEnum, OrthoParamsDefEnum,
+        PinholeParamsDefEnum, allclose)
+    from kaolin_tpu.render.camera import extrinsics as ext_mod
+    from kaolin_tpu.render.camera import intrinsics as int_mod
+
+    def make(eye_x=0.5):
+        return Camera.from_args(eye=jnp.asarray([eye_x, 1.0, 3.0]),
+                                at=jnp.zeros(3), up=jnp.asarray([0., 1., 0.]),
+                                fov=0.6, width=32, height=32)
+
+    a, b, c = make(), make(), make(0.7)
+    assert allclose(a, b)
+    assert not allclose(a, c)
+    assert ext_mod.allclose(a.extrinsics, b.extrinsics)
+    assert not ext_mod.allclose(a.extrinsics, c.extrinsics)
+    assert int_mod.allclose(a.intrinsics, c.intrinsics)  # same lens
+    assert int(PinholeParamsDefEnum.focal_x) == 2
+    assert int(OrthoParamsDefEnum.fov_distance) == 0
+    assert int(ExtrinsicsParamsDefEnum.R) == 0
+
+
+def test_nvdiffrast_context_stub():
+    import pytest
+    from kaolin_tpu.render.mesh import (default_nvdiffrast_context,
+                                        nvdiffrast_is_available)
+    assert nvdiffrast_is_available() is False
+    assert default_nvdiffrast_context(raise_error=False) is None
+    with pytest.raises(RuntimeError, match="rasterize"):
+        default_nvdiffrast_context()
+
+
+def test_random_material_colorspaces():
+    from kaolin_tpu.render.materials import random_material_colorspaces
+    cs = random_material_colorspaces(key=0)
+    assert len(cs) == 11
+    assert all(v in ("auto", "raw") for v in cs.values())
+    assert "diffuse_colorspace" in cs
