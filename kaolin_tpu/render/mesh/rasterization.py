@@ -342,14 +342,17 @@ def rasterize(height, width, face_vertices_z, face_vertices_image,
         jax.lax.stop_gradient(scaled),
         valid_mask)
 
-    # differentiable re-computation at winners
+    # differentiable re-computation at winners. ONE combined gather: TPU row
+    # gathers are latency-bound per row, so fetching verts+features together
+    # from a single (F, 6+3D) table is ~2x faster than two gathers.
     safe_idx = jnp.clip(face_idx, 0, None)
-    sel_v = jnp.take_along_axis(
-        scaled.reshape(b, f, 6), safe_idx.reshape(b, -1, 1), axis=1
-    ).reshape(b, height, width, 3, 2)
-    sel_feat = jnp.take_along_axis(
-        features.reshape(b, f, -1), safe_idx.reshape(b, -1, 1), axis=1
-    ).reshape(b, height, width, 3, features.shape[-1])
+    d3 = 3 * features.shape[-1]
+    table = jnp.concatenate(
+        [scaled.reshape(b, f, 6), features.reshape(b, f, d3)], axis=-1)
+    sel = jnp.take_along_axis(table, safe_idx.reshape(b, -1, 1), axis=1)
+    sel_v = sel[..., :6].reshape(b, height, width, 3, 2)
+    sel_feat = sel[..., 6:].reshape(b, height, width, 3,
+                                    features.shape[-1])
 
     px, py = _pixel_coords(height, width, multiplier, face_vertices_z.dtype)
     w0, w1, w2 = _barycentrics(px[None], py[None], sel_v, eps)
