@@ -9,10 +9,14 @@ __all__ = ["pointclouds_to_voxelgrids", "unbatched_pointcloud_to_spc"]
 
 
 def _base_points_to_voxelgrids(pointclouds, resolution):
-    """Normalized [0,1] points → binary occupancy grids via scatter."""
+    """Normalized [0,1] points → binary occupancy grids via scatter.
+
+    Matches the reference cell assignment exactly (ref :54):
+    ``round(p * (resolution - 1))``, keeping only indices that land in
+    [0, resolution-1] after rounding."""
     b, n, _ = pointclouds.shape
-    in_range = jnp.all((pointclouds >= 0) & (pointclouds <= 1), axis=-1)
-    coords = jnp.floor(pointclouds * resolution).astype(jnp.int32)
+    coords = jnp.round(pointclouds * (resolution - 1)).astype(jnp.int32)
+    in_range = jnp.all((coords >= 0) & (coords <= resolution - 1), axis=-1)
     coords = jnp.clip(coords, 0, resolution - 1)
     vg = jnp.zeros((b, resolution, resolution, resolution), dtype=jnp.float32)
     bidx = jnp.repeat(jnp.arange(b), n)

@@ -148,7 +148,11 @@ def subdivide_trianglemesh(vertices, faces, iterations, alpha=None):
 
     Returns (new_vertices (B, V', 3), new_faces (F·4^it, 3) numpy).
     """
+    init_alpha = alpha  # auto alpha is recomputed from degrees each
+    # iteration; only a user-provided alpha carries over (ref :551-553)
     for _ in range(iterations):
+        if init_alpha is None:
+            alpha = None
         faces_np = np.asarray(faces)
         b, v = vertices.shape[0], vertices.shape[1]
         f = faces_np.shape[0]
