@@ -190,7 +190,11 @@ class CameraExtrinsics:
         return self.R[:, 1, :, None]
 
     def cam_forward(self):
-        return -self.R[:, 2, :, None]
+        """Camera forward axis in world coords — reference convention
+        (ref :968-975: R^T e_z, the scratchapixel lookat 'forward' pointing
+        from target TOWARD the camera; the viewing direction is its
+        negation)."""
+        return self.R[:, 2, :, None]
 
     # -- rigid manipulation (pure: returns new extrinsics) --
     def _update_R_t(self, R, t):
@@ -213,10 +217,11 @@ class CameraExtrinsics:
             cos, sin = jnp.cos(angle), jnp.sin(angle)
             one = jnp.ones_like(cos)
             zero = jnp.zeros_like(cos)
+            # reference matrix layouts (ref :820-880)
             if axis == 0:  # pitch: around x/right
-                rows = [[one, zero, zero], [zero, cos, -sin], [zero, sin, cos]]
+                rows = [[one, zero, zero], [zero, cos, sin], [zero, -sin, cos]]
             elif axis == 1:  # yaw: around y/up
-                rows = [[cos, zero, sin], [zero, one, zero], [-sin, zero, cos]]
+                rows = [[cos, zero, -sin], [zero, one, zero], [sin, zero, cos]]
             else:  # roll: around z/forward
                 rows = [[cos, -sin, zero], [sin, cos, zero], [zero, zero, one]]
             return jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
@@ -239,17 +244,20 @@ class CameraExtrinsics:
         return self._shift_cam(jnp.asarray([0.0, amount, 0.0], dtype=self.dtype))
 
     def move_forward(self, amount):
-        """Ref :916."""
-        return self._shift_cam(jnp.asarray([0.0, 0.0, -amount], dtype=self.dtype))
+        """t ← t − e_z·amount: moves the camera along its forward axis
+        (ref :916-923)."""
+        return self._shift_cam(jnp.asarray([0.0, 0.0, amount], dtype=self.dtype))
 
     def _shift_cam(self, delta_cam):
         t = self.t[..., 0] - delta_cam[None, :]
         return self._update_R_t(self.R, t)
 
     def change_coordinate_system(self, basis_change):
-        """Right-multiply the view matrix by a (3, 3) basis change. Ref :495."""
+        """Apply a (3, 3) axes permutation/reflection: ``R ← R @ Pᵀ``
+        (rotating the world axes about the origin; t unchanged), exactly the
+        reference's transform (ref :495, R update at :577-580). Pure."""
         p = jnp.asarray(basis_change, dtype=self.dtype)
-        R = self.R @ p[None]
+        R = self.R @ p.T[None]
         return self._update_R_t(R, self.t[..., 0])
 
     def __getitem__(self, item):

@@ -218,10 +218,17 @@ class PinholeIntrinsics(CameraIntrinsics):
         return ndc @ persp
 
     def zoom(self, amount):
-        """Increase fov_y by ``amount`` degrees (ref :751). Pure."""
-        new_fov = jnp.deg2rad(self.fov(CameraFOV.VERTICAL) + amount)
-        focal_y = (self.height / 2) / jnp.tan(new_fov / 2.0)
-        focal_x = focal_y * self.focal_x / self.focal_y
+        """Zoom in by DECREASING fov_y by ``amount`` degrees while keeping
+        the fov_x/fov_y RATIO constant (undistorted view), exactly like the
+        reference (ref :751-763: ``fov_y -= amount; fov_x = fov_y *
+        fov_ratio``). Pure — returns the adjusted intrinsics."""
+        fov_y = jnp.deg2rad(self.fov(CameraFOV.VERTICAL))
+        fov_x = jnp.deg2rad(self.fov(CameraFOV.HORIZONTAL))
+        new_fov_y = fov_y - jnp.deg2rad(jnp.asarray(amount,
+                                                    self.params.dtype))
+        new_fov_x = new_fov_y * fov_x / fov_y
+        focal_y = (self.height / 2) / jnp.tan(new_fov_y / 2.0)
+        focal_x = (self.width / 2) / jnp.tan(new_fov_x / 2.0)
         params = self.params.at[:, 2].set(focal_x).at[:, 3].set(focal_y)
         return PinholeIntrinsics(self.width, self.height, params, self.near,
                                  self.far, self.ndc_min, self.ndc_max)

@@ -154,3 +154,107 @@ def test_move_and_rotate(camera):
     # rotation preserves camera position
     np.testing.assert_allclose(rotated.cam_pos()[0, :, 0],
                                camera.extrinsics.cam_pos()[0, :, 0], atol=1e-5)
+
+
+# ---- extended parity vs the reference camera (pure torch CPU) ----
+
+def _ref_ortho_camera():
+    import torch
+    return ref_kaolin.render.camera.Camera.from_args(
+        eye=torch.tensor(EYE), at=torch.tensor(AT), up=torch.tensor(UP),
+        fov_distance=2.0, width=64, height=64)
+
+
+def test_ortho_projection_parity():
+    if ref_kaolin is None:
+        pytest.skip("reference unavailable")
+    import torch
+    ours = Camera.from_args(eye=jnp.asarray(EYE), at=jnp.asarray(AT),
+                            up=jnp.asarray(UP), fov_distance=2.0,
+                            width=64, height=64)
+    theirs = _ref_ortho_camera()
+    np.testing.assert_allclose(np.asarray(ours.intrinsics.projection_matrix()),
+                               theirs.projection_matrix().numpy(), atol=1e-5)
+    pts = np.random.RandomState(3).randn(9, 3).astype(np.float32)
+    got = ours.transform(jnp.asarray(pts))
+    want = theirs.transform(torch.tensor(pts)).numpy()
+    np.testing.assert_allclose(np.asarray(got).reshape(want.shape), want,
+                               atol=1e-4)
+
+
+def test_perspective_and_ndc_matrix_parity(camera):
+    if ref_kaolin is None:
+        pytest.skip("reference unavailable")
+    theirs = _ref_camera()
+    np.testing.assert_allclose(
+        np.asarray(camera.intrinsics.perspective_matrix()),
+        theirs.intrinsics.perspective_matrix().numpy(), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(camera.intrinsics.ndc_matrix(-1, 1, -1, 1, 0.1, 100.0)),
+        theirs.intrinsics.ndc_matrix(-1, 1, -1, 1, 0.1, 100.0).numpy(),
+        atol=1e-5)
+
+
+def test_zoom_and_fov_parity(camera):
+    if ref_kaolin is None:
+        pytest.skip("reference unavailable")
+    theirs = _ref_camera()
+    from kaolin_tpu.render.camera import CameraFOV
+    ref_fov_mod = ref_kaolin.render.camera.intrinsics.CameraFOV
+    np.testing.assert_allclose(
+        np.asarray(camera.intrinsics.fov(CameraFOV.HORIZONTAL)),
+        theirs.intrinsics.fov(ref_fov_mod.HORIZONTAL).numpy(), atol=1e-4)
+    zoomed = camera.intrinsics.zoom(0.2)   # ours is pure; theirs mutates
+    theirs.intrinsics.zoom(0.2)
+    np.testing.assert_allclose(
+        np.asarray(zoomed.projection_matrix()),
+        theirs.intrinsics.projection_matrix().numpy(), atol=1e-4)
+
+
+def test_move_rotate_parity(camera):
+    if ref_kaolin is None:
+        pytest.skip("reference unavailable")
+    theirs = _ref_camera()
+    ours = camera.extrinsics.move_forward(0.5)   # ours is pure
+    theirs.extrinsics.move_forward(0.5)
+    ours = ours.rotate(yaw=0.2, pitch=0.1, roll=0.05)
+    theirs.extrinsics.rotate(yaw=0.2, pitch=0.1, roll=0.05)
+    np.testing.assert_allclose(np.asarray(ours.view_matrix()),
+                               theirs.extrinsics.view_matrix().numpy(),
+                               atol=1e-4)
+    for o, t in ((ours.cam_right(), theirs.extrinsics.cam_right()),
+                 (ours.cam_up(), theirs.extrinsics.cam_up()),
+                 (ours.cam_forward(),
+                  theirs.extrinsics.cam_forward())):
+        np.testing.assert_allclose(np.asarray(o).reshape(t.shape), t.numpy(),
+                                   atol=1e-4)
+
+
+def test_change_coordinate_system_parity(camera):
+    if ref_kaolin is None:
+        pytest.skip("reference unavailable")
+    import torch
+    from kaolin_tpu.render.camera import blender_coords
+    theirs = _ref_camera()
+    basis = np.asarray(blender_coords(), np.float32)
+    ref_basis = ref_kaolin.render.camera.blender_coords()
+    np.testing.assert_allclose(basis, ref_basis.numpy())
+    ours = camera.extrinsics.change_coordinate_system(jnp.asarray(basis))
+    theirs.extrinsics.change_coordinate_system(torch.as_tensor(ref_basis))
+    np.testing.assert_allclose(np.asarray(ours.view_matrix()),
+                               theirs.extrinsics.view_matrix().numpy(),
+                               atol=1e-4)
+
+
+def test_view_projection_and_cat_getitem_parity(camera):
+    if ref_kaolin is None:
+        pytest.skip("reference unavailable")
+    theirs = _ref_camera()
+    np.testing.assert_allclose(np.asarray(camera.view_projection_matrix()),
+                               theirs.view_projection_matrix().numpy(),
+                               atol=1e-4)
+    ref_cat = ref_kaolin.render.camera.Camera.cat([theirs, theirs])
+    our_cat = Camera.cat([camera, camera])
+    assert len(ref_cat) == len(our_cat) == 2
+    np.testing.assert_allclose(np.asarray(our_cat[1].view_matrix()),
+                               ref_cat[1].view_matrix().numpy(), atol=1e-4)

@@ -53,11 +53,13 @@ def test_turntable_orbit_keeps_distance():
                        "relativeX": 16, "relativeY": 0})
     d1 = float(jnp.linalg.norm(viz.camera.cam_pos().squeeze() - viz.focus_at))
     np.testing.assert_allclose(d0, d1, rtol=1e-4)
-    # camera still looks at the focus point
+    # camera still looks at the focus point (cam_forward follows the
+    # reference convention — it points from the target TOWARD the camera,
+    # ref extrinsics.py:968; the viewing direction is its negation)
     fwd = np.asarray(viz.camera.cam_forward()).squeeze()
     to_focus = np.array(viz.focus_at - viz.camera.cam_pos().squeeze())
     to_focus = to_focus / np.linalg.norm(to_focus)
-    np.testing.assert_allclose(fwd, to_focus, atol=1e-4)
+    np.testing.assert_allclose(-fwd, to_focus, atol=1e-4)
     # position actually moved
     assert d0 > 0 and not np.allclose(
         np.asarray(viz.camera.cam_pos()).squeeze(),
