@@ -401,3 +401,88 @@ def test_gcn_parity():
         (jnp.stack([jnp.asarray(adj_rows), jnp.asarray(adj_cols)]),
          jnp.asarray(vals), (5, 5)), jnp.asarray(dense))
     _close(ours, ref.ops.gcn.sparse_bmm(t_sp, _t(dense)), atol=1e-5)
+
+
+# ---- batch 3: core physics operators (ref physics/simplicits + utils) ----
+
+def test_standard_lbs_parity():
+    """Linear blend skinning. Ref physics/simplicits/skinning.py:39."""
+    from kaolin_tpu.physics.simplicits.skinning import standard_lbs
+    rng = np.random.RandomState(16)
+    x0 = rng.rand(12, 3).astype(np.float32)
+    tfms = (rng.rand(2, 3, 3, 4) * 0.1).astype(np.float32)
+    w = rng.rand(12, 3).astype(np.float32)
+    want = ref.physics.simplicits.skinning.standard_lbs(
+        _t(x0), _t(tfms), _t(w))
+    got = standard_lbs(jnp.asarray(x0), jnp.asarray(tfms), jnp.asarray(w))
+    _close(got, want, atol=1e-5)
+
+
+def test_lbs_matrix_parity():
+    """Dense (3N, 12H) LBS Jacobian. Ref precomputed.py:358."""
+    from kaolin_tpu.physics.simplicits.precomputed import lbs_matrix
+    rng = np.random.RandomState(17)
+    x0 = rng.rand(9, 3).astype(np.float32)
+    w = rng.rand(9, 4).astype(np.float32)
+    want = ref.physics.simplicits.precomputed.lbs_matrix(_t(x0), _t(w))
+    got = lbs_matrix(jnp.asarray(x0), jnp.asarray(w))
+    _close(got, want, atol=1e-5)
+
+
+def test_hess_reduction_parity():
+    """J^T H J with block-diagonal H. Ref physics/utils/torch_utilities.py:68."""
+    from kaolin_tpu.physics.utils.torch_utilities import hess_reduction
+    rng = np.random.RandomState(18)
+    n_blocks, bs, red = 10, 3, 8
+    ja = rng.rand(n_blocks * bs, red).astype(np.float32)
+    h = rng.rand(n_blocks, bs, bs).astype(np.float32)
+    want = ref.physics.utils.hess_reduction(_t(ja), _t(h))
+    got = hess_reduction(jnp.asarray(ja), jnp.asarray(h))
+    _close(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_finite_diff_jac_parity():
+    from kaolin_tpu.physics.utils.finite_diff import finite_diff_jac
+    rng = np.random.RandomState(19)
+    x = rng.rand(5, 3).astype(np.float32)
+
+    def f_t(p):
+        return (p * p).sum(dim=-1, keepdim=True)
+
+    def f_j(p):
+        return jnp.sum(p * p, axis=-1, keepdims=True)
+
+    want = ref.physics.utils.finite_diff_jac(f_t, _t(x))
+    got = finite_diff_jac(f_j, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(-1), want.detach().numpy().reshape(-1),
+        atol=1e-3, rtol=1e-2)
+
+
+def test_jacobian_dF_dz_parity():
+    """dF/dz through identical-weight skinning models. Ref precomputed.py:475."""
+    import torch as _torch
+    from kaolin_tpu.physics.simplicits.network import SkinningFn
+    from kaolin_tpu.physics.simplicits.precomputed import jacobian_dF_dz
+    _torch.manual_seed(5)
+    theirs_model = ref.physics.simplicits.network.SimplicitsMLP(3, 8, 3, 1)
+    params = []
+    for mod in theirs_model.linear_elu_stack:
+        if isinstance(mod, _torch.nn.Linear):
+            params.append({
+                "w": jnp.asarray(mod.weight.detach().numpy().T.copy()),
+                "b": jnp.asarray(mod.bias.detach().numpy().copy()),
+            })
+    ours_model = SkinningFn(params=params)
+    rng = np.random.RandomState(20)
+    x0 = rng.rand(6, 3).astype(np.float32)
+    z = np.zeros((1, 24), np.float32)  # 2 learned handles x 12
+    want = ref.physics.simplicits.precomputed.jacobian_dF_dz(
+        theirs_model, _t(x0), _t(z))
+    # the reference differentiates through fcn(x0) = the model's LEARNED
+    # handles (no constant); pass the bare weight function for the same
+    got = jacobian_dF_dz(lambda p: ours_model(p), jnp.asarray(x0),
+                         jnp.asarray(z))
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(want.shape), want.detach().numpy(),
+        atol=1e-4, rtol=1e-3)
