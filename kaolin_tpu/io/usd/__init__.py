@@ -52,3 +52,8 @@ from kaolin_tpu.io.usd.core import (  # noqa: F401
     import_material,
     set_local_to_world_transform,
 )
+from kaolin_tpu.io.usd.materials import (  # noqa: F401
+    MaterialLoadError,
+    MaterialNotFoundError,
+    UsdMaterialIoManager,
+)

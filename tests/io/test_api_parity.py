@@ -147,3 +147,62 @@ def test_misc_aliases():
     assert isinstance(item, KaolinDatasetItem)
     combo = CombinationDataset(ds, DS(3))
     assert combo[2].data == (2, 2)
+
+
+def test_usd_material_io_manager(tmp_path):
+    """Shader registry dispatch + custom shader registration.
+    Ref usd/materials.py:190."""
+    import warnings
+    from kaolin_tpu.io.usd import UsdMaterialIoManager, create_stage
+    from kaolin_tpu.io.usd.core import export_material
+    from kaolin_tpu.render.materials import PBRMaterial
+
+    mat = PBRMaterial(diffuse_color=(0.2, 0.4, 0.6), roughness_value=0.3)
+    path = str(tmp_path / "mat.usda")
+    export_material(mat, path)
+    # default reader dispatches on info:id == UsdPreviewSurface
+    back = UsdMaterialIoManager.read_material(path)
+    np.testing.assert_allclose(np.asarray(back.diffuse_color),
+                               [0.2, 0.4, 0.6], atol=1e-5)
+
+    # custom shader: register reader, then read a file using it
+    def my_reader(file_path, scene_path, time):
+        return {"custom": True}
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # first registration: no warning
+        UsdMaterialIoManager.register_usd_reader("MyCustomPBR", my_reader)
+    custom = tmp_path / "custom.usda"
+    custom.write_text('''#usda 1.0
+
+def Shader "Shader"
+{
+    token info:id = "MyCustomPBR"
+    float inputs:roughness = 0.5
+}
+''')
+    assert UsdMaterialIoManager.read_material(str(custom)) == {"custom": True}
+    # duplicate registration warns
+    with pytest.warns(UserWarning):
+        UsdMaterialIoManager.register_usd_reader("MyCustomPBR", my_reader)
+    # unknown shader falls back to raw params with a warning
+    other = tmp_path / "unknown.usda"
+    other.write_text('''#usda 1.0
+
+def Shader "Shader"
+{
+    token info:id = "SomeUnknownShader"
+    float inputs:roughness = 0.25
+}
+''')
+    with pytest.warns(UserWarning):
+        raw = UsdMaterialIoManager.read_material(str(other))
+    assert raw["roughness"].strip() == "0.25"
+
+    # writer path: write via manager into a stage
+    stage = create_stage(str(tmp_path / "w.usda"))
+    UsdMaterialIoManager.write_material(mat, stage, "/World/mat")
+    stage.save()
+    again = UsdMaterialIoManager.read_material(str(tmp_path / "w.usda"))
+    np.testing.assert_allclose(np.asarray(again.diffuse_color),
+                               [0.2, 0.4, 0.6], atol=1e-5)
