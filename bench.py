@@ -76,12 +76,15 @@ def bench_simplicits(num_qp=1000, num_handles=33, num_steps=50, dt=0.01):
     scene.run_sim_step()  # compile
     jax.block_until_ready(scene.sim_z)
 
-    t0 = time.perf_counter()
-    for _ in range(num_steps):
-        scene.run_sim_step()
-    jax.block_until_ready(scene.sim_z)
-    elapsed = time.perf_counter() - t0
-    return num_steps / elapsed
+    # best of 2: the axon tunnel's RPC latency jitters run to run
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(num_steps):
+            scene.run_sim_step()
+        jax.block_until_ready(scene.sim_z)
+        best = max(best, num_steps / (time.perf_counter() - t0))
+    return best
 
 
 def _uv_sphere(n_lat=40, n_lon=64):
@@ -135,12 +138,14 @@ def bench_dibr(height=512, width=512, num_iters=20):
 
     out = step(fv_img, feat)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(num_iters):
-        out = step(fv_img, feat)
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - t0
-    return num_iters / elapsed
+    best = 0.0
+    for _ in range(2):  # best of 2: tunnel RPC jitter
+        t0 = time.perf_counter()
+        for _ in range(num_iters):
+            out = step(fv_img, feat)
+        jax.block_until_ready(out)
+        best = max(best, num_iters / (time.perf_counter() - t0))
+    return best
 
 
 def main():

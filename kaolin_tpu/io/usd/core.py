@@ -19,7 +19,7 @@ from kaolin_tpu.rep.surface_mesh import SurfaceMesh
 __all__ = [
     "UsdaStage", "create_stage", "add_mesh", "add_pointcloud",
     "add_voxelgrid", "export_mesh", "export_meshes", "export_pointcloud",
-    "get_face_uvs_idx", "set_normals",
+    "get_face_uvs_idx", "get_uvmap_primvar", "set_normals",
     "import_mesh", "import_meshes", "import_pointcloud",
 ]
 
@@ -342,6 +342,24 @@ def _attr_text(body, name, time):
     return default or next(iter(samples.values()), None)
 
 
+def get_uvmap_primvar(body):
+    """The uv primvar name of a mesh prim body, searched in the reference's
+    priority order (ref ``usd/mesh.py:69``): ``primvars:st``, then any
+    ``texCoord2f[]`` primvar, then ``primvars:UVMap`` (blender exports),
+    then any ``float2[]`` primvar. Returns the primvar name or None."""
+    if re.search(r"primvars:st\s*=", body):
+        return "primvars:st"
+    m = re.search(r"texCoord2f\[\]\s+(primvars:[\w:]+)\s*=", body)
+    if m:
+        return m.group(1)
+    if re.search(r"primvars:UVMap\s*=", body):
+        return "primvars:UVMap"
+    m = re.search(r"float2\[\]\s+(primvars:[\w:]+)\s*=", body)
+    if m:
+        return m.group(1)
+    return None
+
+
 def import_meshes(file_path, time=None, with_normals=True, with_uvs=True):
     """All Mesh prims → list of SurfaceMesh (points, faces, uvs +
     face_uvs_idx and normals resolved per their primvar interpolation).
@@ -375,13 +393,15 @@ def import_meshes(file_path, time=None, with_normals=True, with_uvs=True):
         if homogeneous:
             fsz = int(counts[0])
             if with_uvs:
-                uv_text = _attr_text(body, "primvars:st", time)
+                uv_name = get_uvmap_primvar(body)
+                uv_text = (_attr_text(body, uv_name, time)
+                           if uv_name else None)
                 if uv_text is not None:
                     uvs = _parse_vec_array(uv_text, per=2)
-                    uvi_text = _attr_text(body, "primvars:st:indices", None)
+                    uvi_text = _attr_text(body, f"{uv_name}:indices", None)
                     uv_idx = (_parse_int_array(uvi_text)
                               if uvi_text is not None else None)
-                    interp = _extract_interpolation(body, "primvars:st") \
+                    interp = _extract_interpolation(body, uv_name) \
                         or "faceVarying"
                     try:
                         fuv_idx = get_face_uvs_idx(

@@ -320,3 +320,27 @@ def test_get_face_uvs_idx_semantics():
     geo = {"normals": np.zeros((4, 3)), "normals_interpolation": "vertex"}
     set_normals(geo)
     assert "vertex_normals" in geo
+
+
+def test_usd_uvmap_primvar_fallback(tmp_path):
+    """Blender-style primvars:UVMap (no primvars:st) resolves via the
+    reference's priority search (ref usd/mesh.py:69)."""
+    usda = tmp_path / "blender.usda"
+    usda.write_text('''#usda 1.0
+
+def Mesh "blenderThing"
+{
+    point3f[] points = [(0, 0, 0), (1, 0, 0), (0, 1, 0)]
+    int[] faceVertexCounts = [3]
+    int[] faceVertexIndices = [0, 1, 2]
+    texCoord2f[] primvars:UVMap = [(0, 0), (1, 0), (0, 1)] (
+        interpolation = "faceVarying"
+    )
+}
+''')
+    m = kio.usd.import_meshes(str(usda))[0]
+    assert m.uvs.shape == (3, 2)
+    np.testing.assert_array_equal(np.asarray(m.face_uvs_idx), [[0, 1, 2]])
+    from kaolin_tpu.io.usd import get_uvmap_primvar
+    assert get_uvmap_primvar(usda.read_text()) == "primvars:UVMap"
+    assert get_uvmap_primvar("nothing here") is None
