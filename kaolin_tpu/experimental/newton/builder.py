@@ -110,10 +110,10 @@ class SimplicitsModelBuilder:
     def finalize(self, device=None, requires_grad=False,
                  timestep=0.03, **scene_kwargs) -> SimplicitsModel:
         if requires_grad:
-            warnings.warn(
-                "requires_grad is accepted for API parity; jax grads flow "
-                "through the functional step regardless.", UserWarning,
-                stacklevel=2)
+            # the jax analog of torch's requires_grad: run Newton as a
+            # fixed-trip (reverse-differentiable) loop so jax.grad flows
+            # through sim steps
+            scene_kwargs.setdefault("differentiable", True)
         from kaolin_tpu.physics.simplicits import SimplicitsScene
 
         model = SimplicitsModel(device)

@@ -392,6 +392,18 @@ def import_meshes(file_path, time=None, with_normals=True, with_uvs=True):
                 kwargs["faces"] = jnp.asarray(idx2.reshape(-1, 3))
         if homogeneous:
             fsz = int(counts[0])
+            num_verts = np.asarray(kwargs["vertices"]).shape[0]
+            num_fv = int(np.sum(counts))
+
+            def _infer_interp(count):
+                # no authored interpolation metadata: infer from the value
+                # count (USD defaults vary by attribute; sizes are decisive)
+                if count == num_verts:
+                    return "vertex"
+                if count == num_fv:
+                    return "faceVarying"
+                return None
+
             if with_uvs:
                 uv_name = get_uvmap_primvar(body)
                 uv_text = (_attr_text(body, uv_name, time)
@@ -401,24 +413,29 @@ def import_meshes(file_path, time=None, with_normals=True, with_uvs=True):
                     uvi_text = _attr_text(body, f"{uv_name}:indices", None)
                     uv_idx = (_parse_int_array(uvi_text)
                               if uvi_text is not None else None)
-                    interp = _extract_interpolation(body, uv_name) \
-                        or "faceVarying"
+                    interp = _extract_interpolation(body, uv_name)
+                    if interp is None:
+                        interp = ("faceVarying" if uv_idx is not None
+                                  else _infer_interp(len(uvs)))
+                    kwargs["uvs"] = jnp.asarray(uvs)
                     try:
+                        if interp is None:
+                            raise ValueError("ambiguous uv interpolation")
                         fuv_idx = get_face_uvs_idx(
                             np.asarray(kwargs["faces"]), counts, uvs, uv_idx,
                             interp)
-                        kwargs["uvs"] = jnp.asarray(uvs)
                         kwargs["face_uvs_idx"] = jnp.asarray(
                             np.asarray(fuv_idx).reshape(-1, fsz))
                     except (NotImplementedError, ValueError):
-                        kwargs["uvs"] = jnp.asarray(uvs)
+                        pass
             if with_normals:
                 n_text = _attr_text(body, "normals", time)
                 if n_text is not None:
-                    geo = {"normals": _parse_vec_array(n_text),
-                           "normals_interpolation":
-                               _extract_interpolation(body, "normals")
-                               or "faceVarying"}
+                    normals = _parse_vec_array(n_text)
+                    interp = _extract_interpolation(body, "normals") \
+                        or _infer_interp(len(normals))
+                    geo = {"normals": normals,
+                           "normals_interpolation": interp}
                     try:
                         set_normals(geo)
                         if "face_normals" in geo:
@@ -427,7 +444,7 @@ def import_meshes(file_path, time=None, with_normals=True, with_uvs=True):
                         elif "vertex_normals" in geo:
                             kwargs["vertex_normals"] = jnp.asarray(
                                 geo["vertex_normals"])
-                    except NotImplementedError:
+                    except (NotImplementedError, ValueError):
                         pass
         out.append(SurfaceMesh(**kwargs, strict_checks=False))
     return out
@@ -909,9 +926,14 @@ def read_usd_preview_surface(file_path, scene_path=None, time=None,
     for prim in _parse_usda(file_path):
         if prim["type"] != "Shader":
             continue
-        if scene_path is not None and prim["name"] not in (
-                scene_path.split("/")[-1], "Shader"):
-            continue
+        if scene_path is not None:
+            # match the prim path (or a Shader child under it — the
+            # standard Material/Shader layout); a bare leaf name also works
+            path = prim.get("path", "")
+            if not (path == scene_path
+                    or path.startswith(scene_path + "/")
+                    or prim["name"] == scene_path.split("/")[-1]):
+                continue
         body = prim["body"]
         params = {}
         for usd_name, (attr, usd_type) in inv_inputs.items():

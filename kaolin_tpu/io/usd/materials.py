@@ -32,14 +32,24 @@ class MaterialNotFoundError(Exception):
     """Raised when no material/shader prim matches. Ref."""
 
 
+def _shader_matches(prim, scene_path):
+    """Does this Shader prim belong to ``scene_path``? Matches the prim's
+    own path, or a Shader child under that path (the standard
+    Material/Shader layout)."""
+    if scene_path is None:
+        return True
+    path = prim.get("path", "")
+    return path == scene_path or path.startswith(scene_path + "/") \
+        or prim["name"] == scene_path.split("/")[-1]
+
+
 def _shader_id(file_path, scene_path=None):
     """The info:id token of the (selected) Shader prim, or None."""
     import re
     for prim in _parse_usda(file_path):
         if prim["type"] != "Shader":
             continue
-        if scene_path is not None and prim["name"] not in (
-                scene_path.split("/")[-1], "Shader"):
+        if not _shader_matches(prim, scene_path):
             continue
         m = re.search(r'info:id\s*=\s*"([^"]+)"', prim["body"])
         if m:
@@ -114,8 +124,7 @@ class UsdMaterialIoManager:
         for prim in _parse_usda(file_path):
             if prim["type"] != "Shader":
                 continue
-            if scene_path is not None and prim["name"] not in (
-                    scene_path.split("/")[-1], "Shader"):
+            if not _shader_matches(prim, scene_path):
                 continue
             return dict(re.findall(r"inputs:([\w:]+)\s*=\s*([^\n]+)",
                                    prim["body"]))

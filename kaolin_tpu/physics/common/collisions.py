@@ -105,8 +105,16 @@ class Collision:
     # -- broad phases --
     def _pair_mask_of(self, ca, cb, cur, cp_x0, cp_obj_ids, radius):
         """Exact narrow test on candidate pairs: within detection radius,
-        deduped (a < b), and not self-collision-immune (ref detection kernel
-        :37 gates on rest distance × ignore_self_collision_ratio)."""
+        deduped (a < b), and not self-collision-immune.
+
+        NOTE the immune test compares a SQUARED rest distance against the
+        linear ``collision_radius * ignore_self_collision_ratio`` — this is
+        deliberately faithful to the reference kernel
+        (ref collisions.py:66-72: ``wp.length_sq(...) <
+        self_collision_immune_radius`` with ``immune_radius = radius *
+        ratio``, :679), whose huge default ratio (1e5) effectively disables
+        self-collisions; a tuned ratio inherits the reference's
+        dimensional quirk."""
         d2 = jnp.sum((cur[ca] - cur[cb]) ** 2, axis=-1)
         rest_d2 = jnp.sum((cp_x0[ca] - cp_x0[cb]) ** 2, axis=-1)
         immune = (cp_obj_ids[ca] == cp_obj_ids[cb]) & (

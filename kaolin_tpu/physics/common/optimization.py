@@ -101,7 +101,8 @@ def newtons_method(x,
                    ls_beta=0.6,
                    max_ls_steps=10,
                    bounds_qr_tfm=None,
-                   bounds_qr_tfm_inv=None):
+                   bounds_qr_tfm_inv=None,
+                   differentiable=False):
     """Minimize an implicit-integration energy over DOFs x. Ref :143.
 
     Args:
@@ -187,6 +188,15 @@ def newtons_method(x,
         x_new = red_to_full(red_x_new) + x_kinematic
         return (i + 1, x_new, converged_new)
 
+    if differentiable:
+        # fixed-trip fori_loop: converged iterations still run (masked to
+        # no-ops by the `converged` flag inside newton_iter) but the loop is
+        # reverse-mode differentiable — lax.while_loop is not. Use for
+        # differentiable-physics pipelines (grad through the sim step).
+        carry = (jnp.asarray(0), x, jnp.asarray(False))
+        carry = jax.lax.fori_loop(0, nm_max_iters,
+                                  lambda _, c: newton_iter(c), carry)
+        return carry[1]
     # while_loop with the reference's convergence break (ref :254-257):
     # converged solves stop paying for the remaining Newton iterations
     _, x_final, _ = jax.lax.while_loop(

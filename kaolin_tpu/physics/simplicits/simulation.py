@@ -140,10 +140,14 @@ class SimplicitsScene:
     def __init__(self, direct_solve=True, timestep=0.03, max_newton_steps=5,
                  max_ls_steps=10, newton_hessian_regularizer=1e-4,
                  cg_tol=1e-4, cg_iters=100, conv_tol=1e-4, device=None,
-                 use_cuda_graphs=False):
+                 use_cuda_graphs=False, differentiable=False):
         # device / use_cuda_graphs accepted for API parity; jit handles both.
+        # differentiable=True runs Newton as a fixed-trip (reverse-mode
+        # differentiable) loop instead of the early-exiting while_loop —
+        # required to jax.grad through the sim step.
         self.dtype = jnp.float32
         self.direct_solve = direct_solve
+        self.differentiable = bool(differentiable)
         self.timestep = float(timestep)
         self.current_sim_step = 0
         self.max_newton_steps = int(max_newton_steps)
@@ -485,7 +489,8 @@ class SimplicitsScene:
                          cg_tol=self.cg_tol, cg_iters=self.cg_iters,
                          conv_tol=self.conv_tol,
                          direct_solve=self.direct_solve,
-                         max_ls_steps=self.max_ls_steps)
+                         max_ls_steps=self.max_ls_steps,
+                         differentiable=self.differentiable)
         eye3 = jnp.eye(3, dtype=dtype)
 
         objs = list(self.sim_obj_dict.values())

@@ -84,12 +84,8 @@ def chunk_occupancy(face_vertices_image, valid_mask, height, width,
     gmin = jnp.min(fmin.reshape(n_g, group, 2), axis=1)        # (G, 2)
     gmax = jnp.max(fmax.reshape(n_g, group, 2), axis=1)
 
-    i0 = jnp.arange(tx) * tile_px
-    x_lo = multiplier / width * (2 * i0 + 1 - width)
-    x_hi = multiplier / width * (2 * (i0 + tile_px - 1) + 1 - width)
-    r0 = jnp.arange(ty) * tile_px
-    y_hi = multiplier / height * (height - 2 * r0 - 1)
-    y_lo = multiplier / height * (height - 2 * (r0 + tile_px - 1) - 1)
+    from kaolin_tpu.render.mesh.rasterization import tile_rects
+    x_lo, x_hi, y_lo, y_hi = tile_rects(height, width, tile_px, multiplier)
 
     ox = (gmin[None, :, 0] <= x_hi[:, None]) & \
         (gmax[None, :, 0] >= x_lo[:, None])                    # (tx, G)

@@ -92,31 +92,37 @@ def _rasterize_search(height, width, face_vertices_z, face_vertices_image,
     return jnp.where(jnp.isfinite(best_z), best_i, -1)
 
 
+def tile_rects(height, width, tile_px, multiplier):
+    """Per-tile pixel-CENTER extents in kernel coords, the single source of
+    truth for tile/bbox overlap tests (shared with the Pallas occupancy
+    bitmap in ``pallas_soft_mask.chunk_occupancy``). Pixel centers at index
+    i sit at mult/total*(2i+1-total); y decreases with row index (kernel
+    y = mult/H*(H-2r-1)). Returns (x_lo, x_hi) of shape (W/tile_px,) and
+    (y_lo, y_hi) of shape (H/tile_px,)."""
+    ty = height // tile_px
+    tx = width // tile_px
+    i0 = jnp.arange(tx) * tile_px
+    i1 = i0 + tile_px - 1
+    x_lo = multiplier / width * (2 * i0 + 1 - width)
+    x_hi = multiplier / width * (2 * i1 + 1 - width)
+    r0 = jnp.arange(ty) * tile_px
+    r1 = r0 + tile_px - 1
+    y_hi = multiplier / height * (height - 2 * r0 - 1)
+    y_lo = multiplier / height * (height - 2 * r1 - 1)
+    return x_lo, x_hi, y_lo, y_hi
+
+
 def _tile_overlap(face_vertices_image, valid_mask, height, width, multiplier,
                   tile_px, margin=0.0):
     """(num_tiles, F) bool: face (margin-enlarged) bbox ∩ tile rect non-empty
     (with the kernel's half-open x >= xmin, x < xmax convention approximated
-    by closed intervals). Tile rects are in kernel pixel coords: pixel
-    centers at index i sit at mult/total*(2i+1-total); y decreases with row
-    index (kernel y = mult/H*(H-2r-1))."""
+    by closed intervals)."""
     f = face_vertices_image.shape[0]
     ty = height // tile_px
     tx = width // tile_px
     fmin = jnp.min(face_vertices_image, axis=1) - margin  # (F, 2) x,y
     fmax = jnp.max(face_vertices_image, axis=1) + margin
-
-    def tile_edges(n_tiles, size, total):
-        i0 = jnp.arange(n_tiles) * size
-        i1 = i0 + size - 1
-        lo = multiplier / total * (2 * i0 + 1 - total)
-        hi = multiplier / total * (2 * i1 + 1 - total)
-        return lo, hi
-
-    x_lo, x_hi = tile_edges(tx, tile_px, width)
-    r0 = jnp.arange(ty) * tile_px
-    r1 = r0 + tile_px - 1
-    y_hi = multiplier / height * (height - 2 * r0 - 1)
-    y_lo = multiplier / height * (height - 2 * r1 - 1)
+    x_lo, x_hi, y_lo, y_hi = tile_rects(height, width, tile_px, multiplier)
 
     ox = (fmin[None, :, 0] <= x_hi[:, None]) & (fmax[None, :, 0] >= x_lo[:, None])
     oy = (fmin[None, :, 1] <= y_hi[:, None]) & (fmax[None, :, 1] >= y_lo[:, None])

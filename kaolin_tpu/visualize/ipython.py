@@ -436,19 +436,28 @@ class IpyFirstPersonVisualizer(BaseIpyVisualizer):
         new_elevation = self.elevation + d_elevation
         clamped = min(max(new_elevation, -math.pi / 2 + 1e-3),
                       math.pi / 2 - 1e-3)
-        d_elevation = clamped - self.elevation
         self.elevation = clamped
         self.azimuth += d_azimuth
         extr = self.camera.extrinsics
-        # pitch in camera space, yaw around world up
-        extr = extr.rotate(pitch=d_elevation)
         pos = extr.cam_pos().squeeze()
-        rotated_fwd = rotate_around_axis(-extr.cam_forward().squeeze(),
-                                         -d_azimuth, self.world_up)
+        # state-based rebuild (no incremental double-counting): take the
+        # current viewing direction (cam_forward points from the target
+        # TOWARD the camera — reference convention), strip its vertical
+        # component, yaw it around world up, then pitch by the full
+        # tracked elevation
+        view_dir = -extr.cam_forward().squeeze()
+        up = jnp.asarray(self.world_up, dtype=self.camera.dtype)
+        horiz = view_dir - jnp.dot(up, view_dir) * up
+        norm = float(jnp.linalg.norm(horiz))
+        if norm < 1e-6:  # looking straight up/down: keep previous azimuth ref
+            horiz = -extr.cam_up().squeeze() * jnp.sign(
+                jnp.dot(up, view_dir))
+            horiz = horiz - jnp.dot(up, horiz) * up
+        horiz = horiz / jnp.linalg.norm(horiz)
+        horiz = rotate_around_axis(horiz, -d_azimuth, self.world_up)
         from kaolin_tpu.render.camera.extrinsics import CameraExtrinsics
-        up_hint = jnp.asarray(self.world_up)
         extr = CameraExtrinsics.from_lookat(
-            eye=pos, at=pos - rotated_fwd, up=up_hint,
+            eye=pos, at=pos + horiz, up=up,
             dtype=self.camera.dtype).rotate(pitch=self.elevation)
         self.camera = Camera(extr, self.camera.intrinsics)
 

@@ -206,3 +206,34 @@ def Shader "Shader"
     again = UsdMaterialIoManager.read_material(str(tmp_path / "w.usda"))
     np.testing.assert_allclose(np.asarray(again.diffuse_color),
                                [0.2, 0.4, 0.6], atol=1e-5)
+
+
+def test_usd_material_manager_scene_path_dispatch(tmp_path):
+    """Multi-material files dispatch by the requested prim PATH, not by any
+    prim that happens to be named 'Shader'."""
+    from kaolin_tpu.io.usd import UsdMaterialIoManager
+    multi = tmp_path / "multi.usda"
+    multi.write_text('''#usda 1.0
+
+def Material "matA"
+{
+    def Shader "Shader"
+    {
+        token info:id = "CustomShaderX"
+        float inputs:roughness = 0.9
+    }
+}
+
+def Material "matB"
+{
+    def Shader "Shader"
+    {
+        token info:id = "UsdPreviewSurface"
+        color3f inputs:diffuseColor = (0.1, 0.2, 0.3)
+    }
+}
+''')
+    mat_b = UsdMaterialIoManager.read_material(str(multi),
+                                               scene_path="/matB")
+    np.testing.assert_allclose(np.asarray(mat_b.diffuse_color),
+                               [0.1, 0.2, 0.3], atol=1e-5)

@@ -344,3 +344,40 @@ def Mesh "blenderThing"
     from kaolin_tpu.io.usd import get_uvmap_primvar
     assert get_uvmap_primvar(usda.read_text()) == "primvars:UVMap"
     assert get_uvmap_primvar("nothing here") is None
+
+
+def test_usd_normals_without_interpolation_metadata(tmp_path):
+    """Per-vertex normals with NO authored interpolation metadata import by
+    size inference instead of crashing (regression: the faceVarying default
+    reshaped V normals into (F, FSz, 3))."""
+    usda = tmp_path / "plainnormals.usda"
+    usda.write_text('''#usda 1.0
+
+def Mesh "plain"
+{
+    point3f[] points = [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1)]
+    int[] faceVertexCounts = [3, 3]
+    int[] faceVertexIndices = [0, 1, 2, 0, 2, 3]
+    normal3f[] normals = [(0, 0, 1), (0, 0, 1), (0, 0, 1), (0, 0, 1)]
+    texCoord2f[] primvars:st = [(0, 0), (1, 0), (0, 1), (1, 1)]
+}
+''')
+    m = kio.usd.import_meshes(str(usda))[0]
+    assert m.vertex_normals.shape == (4, 3)            # inferred 'vertex'
+    np.testing.assert_array_equal(np.asarray(m.face_uvs_idx),
+                                  np.asarray(m.faces))  # uvs: V of them
+    # face-varying-count normals with no metadata infer 'faceVarying'
+    fv = tmp_path / "fvnormals.usda"
+    fv.write_text('''#usda 1.0
+
+def Mesh "fv"
+{
+    point3f[] points = [(0, 0, 0), (1, 0, 0), (0, 1, 0)]
+    int[] faceVertexCounts = [3]
+    int[] faceVertexIndices = [0, 1, 2]
+    normal3f[] normals = [(0, 0, 1), (0, 0, 1), (0, 0, 1)]
+}
+''')
+    m2 = kio.usd.import_meshes(str(fv))[0]
+    # 3 normals == num verts == num face-vertices; vertex wins (checked 1st)
+    assert m2.vertex_normals is not None or m2.face_normals is not None

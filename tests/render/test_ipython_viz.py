@@ -118,3 +118,54 @@ def test_get_values_under_cursor():
         {"relativeX": 16, "relativeY": 16,
          "boundingRectWidth": 32, "boundingRectHeight": 32})
     assert "img" in vals and vals["img"].shape == (3,)
+
+
+def test_fps_visualizer_look_continuity():
+    """Small look-around drags change the view by small angles (regression:
+    the cam_forward convention change flipped the FPS view 180 degrees and
+    double-applied elevation)."""
+    from kaolin_tpu.visualize.ipython import IpyFirstPersonVisualizer
+
+    cam = Camera.from_args(eye=jnp.asarray([0.0, 0.0, 3.0]),
+                           at=jnp.zeros(3), up=jnp.asarray([0.0, 1.0, 0.0]),
+                           fov=0.7, width=32, height=32)
+    viz = IpyFirstPersonVisualizer(32, 32, cam,
+                                   lambda c: jnp.zeros((32, 32, 3)))
+
+    def viewdir(c):
+        return -np.asarray(c.cam_forward()).squeeze()
+
+    v0 = viewdir(viz.camera)
+    viz._rotate(0.01, 0.0)
+    v1 = viewdir(viz.camera)
+    ang = np.degrees(np.arccos(np.clip(np.dot(v0, v1), -1, 1)))
+    np.testing.assert_allclose(ang, np.degrees(0.01), atol=0.05)
+    viz._rotate(0.0, 0.01)
+    v2 = viewdir(viz.camera)
+    ang2 = np.degrees(np.arccos(np.clip(np.dot(v1, v2), -1, 1)))
+    np.testing.assert_allclose(ang2, np.degrees(0.01), atol=0.05)
+    # looking around never moves the camera; elevation tracks actual pitch
+    for _ in range(40):
+        viz._rotate(0.02, 0.01)
+    assert np.allclose(np.asarray(viz.camera.cam_pos()).squeeze(),
+                       [0.0, 0.0, 3.0], atol=1e-4)
+    v3 = viewdir(viz.camera)
+    np.testing.assert_allclose(float(np.arcsin(np.clip(v3[1], -1, 1))),
+                               viz.elevation, atol=1e-3)
+
+
+def test_fps_visualizer_explicit_world_up_continuity():
+    from kaolin_tpu.visualize.ipython import IpyFirstPersonVisualizer
+
+    cam = Camera.from_args(eye=jnp.asarray([0.0, 2.0, 2.0]),
+                           at=jnp.zeros(3), up=jnp.asarray([0.0, 1.0, 0.0]),
+                           fov=0.7, width=32, height=32)
+    viz = IpyFirstPersonVisualizer(32, 32, cam,
+                                   lambda c: jnp.zeros((32, 32, 3)),
+                                   world_up=jnp.asarray([0.0, 1.0, 0.0]))
+    np.testing.assert_allclose(viz.elevation, -np.pi / 4, atol=1e-3)
+    v0 = -np.asarray(viz.camera.cam_forward()).squeeze()
+    viz._rotate(0.0, 0.001)
+    v1 = -np.asarray(viz.camera.cam_forward()).squeeze()
+    ang = np.degrees(np.arccos(np.clip(np.dot(v0, v1), -1, 1)))
+    assert ang < 0.2  # continuous, no snap to horizontal
