@@ -221,18 +221,26 @@ def _soft_bwd_kernel(faces_ref, occ_ref, ga_ref, out_ref, *,
             vs = _face_rows(faces_ref, c0, range(6))
             alive = _face_rows(faces_ref, c0, [_R_ALIVE])[0]
             in_box = _chunk_inbox(px, py, vs, alive, margin)
-            # three recomputation sweeps over the 6 candidates (min, ties,
-            # grads): keeping every candidate live would blow the 16MB VMEM
-            # budget; recomputing them is nearly free on the VPU
-            d2 = _chunk_distances(px, py, vs, multiplier)
+            # ONE candidate sweep: evaluate the 6 distance candidates once
+            # and keep them (plus the edge-gradient intermediates) live —
+            # 6 + 3·8 (P, chunk) f32 buffers ≈ 3.8 MB at tile 16, well
+            # inside VMEM — instead of the original three recomputation
+            # sweeps (min, ties, grads)
+            e_cd = [None] * 3
+            e_data = [None] * 3
+            for i3 in range(3):
+                e_cd[i3], e_data[i3] = _edge_candidate(i3, px, py, vs,
+                                                       multiplier)
+            v_cd = [_vert_candidate(jv, px, py, vs) for jv in range(3)]
+            d2 = jnp.minimum(jnp.minimum(e_cd[0], e_cd[1]), e_cd[2])
+            for jv in range(3):
+                d2 = jnp.minimum(d2, v_cd[jv])
             prob = jnp.where(in_box, jnp.exp(-k * d2), 0.0)
             num_ties = jnp.zeros_like(d2)
             for i3 in range(3):
-                cd, _u = _edge_candidate(i3, px, py, vs, multiplier)
-                num_ties += (cd == d2).astype(jnp.float32)
+                num_ties += (e_cd[i3] == d2).astype(jnp.float32)
             for jv in range(3):
-                num_ties += (_vert_candidate(jv, px, py, vs) == d2) \
-                    .astype(jnp.float32)
+                num_ties += (v_cd[jv] == d2).astype(jnp.float32)
             # d allprob/d p_i = −allprob/(1−p_i); d p_i/d d2_i = −k·p_i;
             # ties split the cotangent evenly (matches jnp.min AD)
             c = ga / jnp.clip(1.0 - prob, 1e-12, None) * k * prob
@@ -242,9 +250,8 @@ def _soft_bwd_kernel(faces_ref, occ_ref, ga_ref, out_ref, *,
             # second-endpoint term, and the own vertex-distance term
             e_g = [None] * 3
             for i3 in range(3):
-                cd, (x1, y1, x2, y2, A, B, up, inv_down) = _edge_candidate(
-                    i3, px, py, vs, multiplier)
-                ci = jnp.where(cd == d2, c, 0.0)
+                x1, y1, x2, y2, A, B, up, inv_down = e_data[i3]
+                ci = jnp.where(e_cd[i3] == d2, c, 0.0)
                 d_val = up * up * inv_down
                 w = ci * inv_down
                 e_g[i3] = (
@@ -260,8 +267,7 @@ def _soft_bwd_kernel(faces_ref, occ_ref, ga_ref, out_ref, *,
             xs = [vs[0], vs[2], vs[4]]
             ys = [vs[1], vs[3], vs[5]]
             for jv in range(3):
-                cd = _vert_candidate(jv, px, py, vs)
-                cj = jnp.where(cd == d2, c, 0.0)
+                cj = jnp.where(v_cd[jv] == d2, c, 0.0)
                 gx = e_g[jv][0] + e_g[(jv + 2) % 3][2] \
                     + jnp.sum(-2.0 * cj * (px - xs[jv]), axis=0,
                               keepdims=True)
