@@ -129,6 +129,13 @@ class SimplicitsModelBuilder:
                              renderable_pts=rpts)
 
         if not self._pending_objects:
+            if (self._shapes or self._pending_boundary_conditions
+                    or self._pending_collisions is not None):
+                raise ValueError(
+                    "finalize() called with rigid shapes, boundary conditions "
+                    "or collisions but no simplicits objects — add at least "
+                    "one soft object via add_simplicits_object() first, or "
+                    "these settings would be silently dropped.")
             return model
 
         acc_gravity = np.zeros(3, np.float32)

@@ -138,8 +138,15 @@ _POOL_STATE = {}
 
 def _pool_init(source, preprocessing_transform, cache_dir):
     # runs once per spawned worker; keep device use off — force CPU so
-    # workers never grab the TPU the parent may hold
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # workers never grab the TPU the parent may hold. Assign unconditionally:
+    # spawned workers inherit the parent's JAX_PLATFORMS, so setdefault would
+    # be a no-op whenever the parent exported one (e.g. a TPU platform).
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
     _POOL_STATE["source"] = source
     _POOL_STATE["transform"] = preprocessing_transform
     _POOL_STATE["cache_dir"] = cache_dir

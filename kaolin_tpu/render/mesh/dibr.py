@@ -382,7 +382,8 @@ def dibr_soft_mask(face_vertices_image, selected_face_idx, sigmainv=7000,
         raise ValueError(f"unknown knum_mode {knum_mode!r}")
     if impl is None:
         from kaolin_tpu.utils.backend import on_tpu
-        impl = "pallas" if on_tpu() else "xla"
+        from kaolin_tpu.render.mesh.pallas_soft_mask import PALLAS_FACE_LIMIT
+        impl = "pallas" if on_tpu() and f <= PALLAS_FACE_LIMIT else "xla"
     if tile_px is None:
         tile_px = 16 if impl == "pallas" else 32
     if knum_mode == "first":

@@ -35,6 +35,14 @@ from jax.experimental.pallas import tpu as pltpu
 _EPS = 1e-10
 _CHUNK = 128
 
+# Auto-dispatch VMEM guard: these kernels stage the whole packed face table
+# in VMEM — (16, F_pad) f32 forward (64 B/face) plus an (8, F_pad) gradient
+# accumulator in backward (32 B/face), on top of per-tile intermediates.
+# Beyond ~10^5 faces that no longer fits ~16 MB VMEM and Mosaic fails at
+# compile time, so impl=None falls back to the capacity-binned XLA path
+# above this face count. Explicit impl="pallas" is not second-guessed.
+PALLAS_FACE_LIMIT = 65536
+
 # packed face-array rows
 _ROWS = 16          # padded row count (sublane-friendly)
 _R_ALIVE = 9        # 0-5: x1,y1,x2,y2,x3,y3; 6-8: z1,z2,z3; 9: alive

@@ -311,7 +311,8 @@ def rasterize(height, width, face_vertices_z, face_vertices_image,
     scaled = face_vertices_image * multiplier
     if impl is None:
         from kaolin_tpu.utils.backend import on_tpu
-        impl = "pallas" if on_tpu() else "xla"
+        from kaolin_tpu.render.mesh.pallas_soft_mask import PALLAS_FACE_LIMIT
+        impl = "pallas" if on_tpu() and f <= PALLAS_FACE_LIMIT else "xla"
     if tile_px is None:
         # smaller tiles give the Pallas kernels finer chunk-occupancy
         # selectivity (less dead work); the XLA binned path amortizes its

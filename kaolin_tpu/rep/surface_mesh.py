@@ -710,6 +710,16 @@ class SurfaceMesh:
             if fixed_topology:
                 try:
                     if k in _FIXED_TOPOLOGY_ATTRS:
+                        # all inputs must actually share this topology —
+                        # silently taking flat[0] would corrupt the batch
+                        # (the reference raises in convert_attribute_batching
+                        # LIST→FIXED for the same reason)
+                        for other in flat[1:]:
+                            if other.shape != flat[0].shape or \
+                                    not bool(jnp.array_equal(other, flat[0])):
+                                raise ValueError(
+                                    f"fixed_topology=True but inputs differ "
+                                    f"in '{k}' — use fixed_topology=False")
                         kwargs[k] = flat[0]
                     else:
                         kwargs[k] = jnp.stack(flat)

@@ -66,6 +66,21 @@ def test_to_batched_and_cat():
     assert fv.shape == (2, 4, 3, 3)
 
 
+def test_cat_fixed_topology_rejects_mismatched_faces():
+    import pytest
+    m1 = _tet_mesh()
+    m2 = SurfaceMesh(vertices=jnp.asarray([[0., 0., 0.], [1., 0., 0.],
+                                           [0., 1., 0.]]),
+                     faces=jnp.asarray([[0, 1, 2]]))
+    with pytest.raises(ValueError):
+        SurfaceMesh.cat([m1, m2], fixed_topology=True)
+    # same face count but different values must also raise
+    m3 = _tet_mesh()
+    m3.faces = m3.faces[::-1]
+    with pytest.raises(ValueError):
+        SurfaceMesh.cat([m1, m3], fixed_topology=True)
+
+
 def test_list_batching():
     m1 = _tet_mesh()
     m2 = SurfaceMesh(vertices=jnp.asarray([[0., 0., 0.], [1., 0., 0.],
