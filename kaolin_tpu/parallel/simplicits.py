@@ -58,7 +58,8 @@ def sharded_mlp_train_step(mesh, params, pts, yms, prs, rhos, appx_vol, key,
 
 def make_demo_scene(seed, num_qp=32, num_handles=3, dt=0.03,
                     with_collision=True, with_kinematic=True,
-                    kinematic_qp=16, max_contact_pairs=64):
+                    kinematic_qp=16, max_contact_pairs=64,
+                    broad_phase="grid"):
     """Build a REAL :class:`SimplicitsScene` for scene-batch parallelism
     demos/tests: one dynamic soft body (QR-conditioned, analytic skinning
     field standing in for a trained MLP) dropping under gravity onto a floor,
@@ -101,8 +102,11 @@ def make_demo_scene(seed, num_qp=32, num_handles=3, dt=0.03,
     scene.set_scene_gravity(jnp.asarray([0.0, 9.8, 0.0]))
     scene.set_scene_floor(floor_height=-1.0)
     if with_collision:
+        # grid by default so the multichip dryrun exercises the product
+        # broad phase (the auto threshold would pick dense at demo scale)
         scene.enable_collisions(collision_particle_radius=0.15,
-                                max_contact_pairs=max_contact_pairs)
+                                max_contact_pairs=max_contact_pairs,
+                                broad_phase=broad_phase)
     return scene
 
 

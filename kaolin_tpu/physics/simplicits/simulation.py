@@ -351,13 +351,30 @@ class SimplicitsScene:
         self._scan_fn = None
         return pinned_x
 
+    # contact-particle count above which the grid broad phase is the
+    # product default (the reference always uses wp.HashGrid, ref :641;
+    # here small scenes keep the dense pair matrix, whose single fused
+    # mask beats the grid's sort+searchsorted overhead below ~2k points)
+    GRID_BROAD_PHASE_THRESHOLD = 2048
+
     def enable_collisions(self, collision_particle_radius=0.1,
                           detection_ratio=1.5, impenetrable_barrier_ratio=0.25,
                           collision_penalty=1000.0, max_contact_pairs=10000,
-                          friction=0.5):
-        """Ref :838."""
+                          friction=0.5, broad_phase=None, cell_capacity=32):
+        """Ref :838.
+
+        ``broad_phase``: ``"dense"`` (exact O(N²) pair matrix), ``"grid"``
+        (spatial-hash cells, the analog of the reference's ``wp.HashGrid``),
+        or None (auto — grid at/above ``GRID_BROAD_PHASE_THRESHOLD`` contact
+        particles, dense below). ``cell_capacity`` is the fixed per-cell
+        candidate budget of the grid phase; overflow is surfaced by
+        ``Collision.detection_diagnostics``.
+        """
         if not self._ready_for_forces:
             self._get_scene_ready_for_forces()
+        if broad_phase is None:
+            broad_phase = ("grid" if self.total_qp >=
+                           self.GRID_BROAD_PHASE_THRESHOLD else "dense")
         collision = Collision(
             dt=self.timestep,
             collision_particle_radius=collision_particle_radius,
@@ -368,11 +385,24 @@ class SimplicitsScene:
             friction=friction,
             max_contacting_pairs=min(max_contact_pairs,
                                      self.total_qp * (self.total_qp - 1) // 2),
-            bounds=True)
+            bounds=True, broad_phase=broad_phase,
+            cell_capacity=cell_capacity)
         self.force_dict["collision"] = {"object": collision,
                                         "coeff": float(collision_penalty)}
         self._step_fn = None
         self._scan_fn = None
+
+    def collision_diagnostics(self):
+        """Capacity-overflow surfacing for the enabled collision force at the
+        scene's CURRENT state: ``num_pairs``, ``contacts_overflow`` and (grid
+        broad phase) ``max_bucket_load`` / ``cell_overflow``. See
+        :meth:`Collision.detection_diagnostics`."""
+        if "collision" not in self.force_dict:
+            raise RuntimeError("collisions are not enabled on this scene")
+        col = self.force_dict["collision"]["object"]
+        dx = (self.sim_B @ self.sim_z).reshape(-1, 3)
+        return col.detection_diagnostics(dx, self.sim_pts,
+                                         self.qp_to_object_map)
 
     # ---- state ----
     def reset_scene(self):

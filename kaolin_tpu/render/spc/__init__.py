@@ -8,4 +8,5 @@ from kaolin_tpu.render.spc.raytrace import (  # noqa: F401
     prod_reduce,
     sum_reduce,
     unbatched_raytrace,
+    raytrace_overflow_report,
 )

@@ -24,6 +24,7 @@ import numpy as np
 
 __all__ = [
     "unbatched_raytrace",
+    "raytrace_overflow_report",
     "mark_pack_boundaries",
     "diff",
     "sum_reduce",
@@ -54,7 +55,13 @@ def _ray_aabb(origin, inv_dir, bmin, bmax):
 def _raytrace_fixed(octree, exsum, origin, direction, level, capacity,
                     return_exit=False):
     """Jittable fixed-capacity traversal. Returns (ridx, pidx, t_entry,
-    t_exit, valid) arrays of length ``capacity``."""
+    t_exit, valid, level_counts, overflowed):
+
+    - ``level_counts`` (level,) int32 — TRUE number of surviving (ray, node)
+      candidates after each level's decide step (exact up to and including
+      the first overflowing level);
+    - ``overflowed`` bool — some level produced more candidates than
+      ``capacity`` and truncated (results are incomplete)."""
     num_rays = origin.shape[0]
     dtype = origin.dtype
     inv_dir = 1.0 / jnp.where(jnp.abs(direction) > 1e-12, direction,
@@ -79,6 +86,8 @@ def _raytrace_fixed(octree, exsum, origin, direction, level, capacity,
     coords = jnp.zeros((num_rays, 3), dtype=jnp.int32)
     valid = root_hit
 
+    level_counts = []
+    overflowed = jnp.asarray(False)
     for l in range(level):
         c = ridx.shape[0]
         cell = 2.0 / (2 ** (l + 1))  # child cell size in [-1, 1] space
@@ -103,7 +112,10 @@ def _raytrace_fixed(octree, exsum, origin, direction, level, capacity,
         child_nidx = base[:, None] + popc + 1  # (C, 8)
 
         flat_valid = cand_valid.reshape(-1)
+        true_count = jnp.sum(flat_valid.astype(jnp.int32))
         new_cap = min(capacity, c * 8)
+        overflowed = overflowed | (true_count > new_cap)
+        level_counts.append(true_count)
         sel = jnp.nonzero(flat_valid, size=new_cap, fill_value=c * 8)[0]
         in_range = sel < c * 8
         sel_safe = jnp.where(in_range, sel, 0)
@@ -120,7 +132,15 @@ def _raytrace_fixed(octree, exsum, origin, direction, level, capacity,
     bmin = coords.astype(dtype) * cell - 1.0
     bmax = bmin + cell
     _, t_in, t_out = _ray_aabb(origin[ridx], inv_dir[ridx], bmin, bmax)
-    return ridx, nidx, t_in, t_out, valid
+    return (ridx, nidx, t_in, t_out, valid,
+            jnp.stack(level_counts) if level_counts
+            else jnp.zeros((0,), jnp.int32), overflowed)
+
+
+def _capacity_ceiling(num_rays, num_leaf, level):
+    """Worst-case nugget count: every ray visits every leaf (never larger
+    than the number of candidate (ray, node) pairs a dense traversal sees)."""
+    return int(max(num_rays, 1) * max(num_leaf, 1))
 
 
 def unbatched_raytrace(octree, point_hierarchy, pyramid, exsum, origin,
@@ -129,19 +149,47 @@ def unbatched_raytrace(octree, point_hierarchy, pyramid, exsum, origin,
     """Trace rays against an SPC, returning depth-sorted (ray, point)
     intersection nuggets. Ref :34.
 
-    ``max_nuggets`` bounds the intersection buffer (extra capability vs the
-    reference; None → auto). The returned arrays are trimmed to the actual
-    intersection count (host sync at the boundary, like the reference).
+    ``max_nuggets`` bounds the per-level intersection buffer. With the
+    default (None), a tight initial capacity of ``4 * num_rays`` is used and
+    **auto-grown** (doubled, recompiling) whenever the traversal reports a
+    capacity overflow, so results are never silently truncated. An explicit
+    ``max_nuggets`` is trusted; if it overflows, a warning is emitted and the
+    truncated (still depth-sorted) nugget set is returned — use
+    :func:`raytrace_overflow_report` to size it.
+
+    Per-level cost is proportional to the capacity (XLA static shapes), so a
+    tight buffer is also the fast path: for closed surfaces the per-level
+    candidate count stays ~(rays hitting the object) x (cells pierced per
+    level), a small multiple of ``num_rays``, NOT ``num_rays * 8^level``.
+
+    The returned arrays are trimmed to the actual intersection count (host
+    sync at the boundary, like the reference).
     """
     num_rays = origin.shape[0]
     pyramid_np = np.asarray(pyramid)
     num_leaf = int(pyramid_np[0, level])
-    if max_nuggets is None:
-        max_nuggets = int(min(max(num_rays * (2 * level + 8), 1) * 8,
-                              num_rays * max(num_leaf, 1)))
-    ridx, pidx, t_in, t_out, valid = _raytrace_fixed(
-        jnp.asarray(octree), jnp.asarray(exsum), origin, direction, level,
-        max_nuggets, return_exit=with_exit)
+    ceiling = _capacity_ceiling(num_rays, num_leaf, level)
+    auto = max_nuggets is None
+    if auto:
+        max_nuggets = min(max(4 * num_rays, 1024), ceiling)
+
+    octree = jnp.asarray(octree)
+    exsum = jnp.asarray(exsum)
+    while True:
+        ridx, pidx, t_in, t_out, valid, _, overflowed = _raytrace_fixed(
+            octree, exsum, origin, direction, level, max_nuggets,
+            return_exit=with_exit)
+        if not bool(overflowed) or max_nuggets >= ceiling:
+            break
+        if not auto:
+            import warnings
+            warnings.warn(
+                f"unbatched_raytrace: max_nuggets={max_nuggets} overflowed — "
+                f"nuggets were dropped. Use raytrace_overflow_report to size "
+                f"the buffer, or pass max_nuggets=None to auto-grow.")
+            break
+        max_nuggets = min(max_nuggets * 2, ceiling)
+
     count = int(jnp.sum(valid))
     ridx = ridx[:count].astype(jnp.int32)
     pidx = pidx[:count].astype(jnp.int32)
@@ -152,6 +200,28 @@ def unbatched_raytrace(octree, point_hierarchy, pyramid, exsum, origin,
             depth = t_in[:count, None]
         return ridx, pidx, depth
     return ridx, pidx
+
+
+def raytrace_overflow_report(octree, point_hierarchy, pyramid, exsum, origin,
+                             direction, level, max_nuggets):
+    """Validate a raytrace buffer capacity (mirror of
+    ``render.mesh.tile_overflow_report`` / ``Collision.detection_diagnostics``).
+
+    Returns a dict with ``level_counts`` (true surviving candidates per
+    octree level — exact up to and including the first overflowing level,
+    lower bounds beyond it), ``max_level_count``, ``capacity``, and
+    ``overflowed`` (True → :func:`unbatched_raytrace` with this explicit
+    ``max_nuggets`` would silently drop nuggets)."""
+    *_, level_counts, overflowed = _raytrace_fixed(
+        jnp.asarray(octree), jnp.asarray(exsum), origin, direction, level,
+        int(max_nuggets))
+    counts = np.asarray(level_counts)
+    return {
+        "level_counts": counts,
+        "max_level_count": int(counts.max()) if counts.size else 0,
+        "capacity": int(max_nuggets),
+        "overflowed": bool(overflowed),
+    }
 
 
 # ---------------------------------------------------------------------------

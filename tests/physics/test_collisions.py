@@ -152,3 +152,52 @@ def test_grid_scales_to_50k_points():
     assert num > 1000, f"expected many contacts at this density, got {num}"
     # compiled detection should be well under a second even on CPU
     assert elapsed < 5.0, f"grid detection took {elapsed:.2f}s at N=50k"
+
+
+# ---- product integration: the grid phase through SimplicitsScene ----
+
+def test_scene_broad_phase_auto_default():
+    """enable_collisions picks grid at/above the threshold, dense below
+    (VERDICT r2 #1: grid must be the product default at scale)."""
+    from kaolin_tpu.parallel.simplicits import make_demo_scene
+    from kaolin_tpu.physics.simplicits.simulation import SimplicitsScene
+
+    small = make_demo_scene(0, num_qp=32, with_kinematic=True,
+                            broad_phase=None)
+    assert small.force_dict["collision"]["object"].broad_phase == "dense"
+
+    thresh = SimplicitsScene.GRID_BROAD_PHASE_THRESHOLD
+    big = make_demo_scene(0, num_qp=thresh, with_kinematic=False,
+                          broad_phase=None, max_contact_pairs=4000)
+    assert big.force_dict["collision"]["object"].broad_phase == "grid"
+
+
+def test_run_sim_step_grid_matches_dense_trajectory():
+    """Full product loop (run_sim_step: detection inside the jitted Newton
+    step, contact jacobians, QR basis, Armijo bounds): a soft body dropping
+    onto a kinematic plate must produce the same trajectory under the grid
+    and dense broad phases."""
+    from kaolin_tpu.parallel.simplicits import make_demo_scene
+
+    trajs = {}
+    for bp in ("dense", "grid"):
+        scene = make_demo_scene(3, num_qp=48, kinematic_qp=25,
+                                with_kinematic=True, broad_phase=bp,
+                                max_contact_pairs=512)
+        zs = []
+        for _ in range(12):
+            scene.run_sim_step()
+            zs.append(np.asarray(scene.sim_z))
+        trajs[bp] = np.stack(zs)
+    assert np.isfinite(trajs["grid"]).all()
+    np.testing.assert_allclose(trajs["grid"], trajs["dense"],
+                               rtol=1e-4, atol=1e-5)
+    # the scenario actually produced contacts (not vacuous equality)
+    scene = make_demo_scene(3, num_qp=48, kinematic_qp=25,
+                            with_kinematic=True, broad_phase="grid",
+                            max_contact_pairs=512)
+    for _ in range(12):
+        scene.run_sim_step()
+    diag = scene.collision_diagnostics()
+    assert int(diag["num_pairs"]) > 0
+    assert not bool(diag["cell_overflow"])

@@ -163,3 +163,50 @@ def test_exponential_integration():
                                rtol=1e-5)
     want0 = (w[:3, None] * np.asarray(feats)[:3]).sum(0)
     np.testing.assert_allclose(np.asarray(out_feats)[0], want0, rtol=1e-5)
+
+
+def test_overflow_report_and_autogrow(spc):
+    """Deliberately undersized capacity is reported; auto mode grows until
+    nothing is dropped (VERDICT r2 #4)."""
+    from kaolin_tpu.render.spc import raytrace_overflow_report
+
+    octree, ph, pyramid, exsum, voxels, lvl = spc
+    rng = np.random.RandomState(2)
+    n_rays = 64
+    origins = np.zeros((n_rays, 3), dtype=np.float32)
+    origins[:, 2] = -3.0
+    origins[:, 0] = rng.uniform(-0.9, 0.9, n_rays)
+    origins[:, 1] = rng.uniform(-0.9, 0.9, n_rays)
+    dirs = np.tile(np.array([0.0, 0.0, 1.0], np.float32), (n_rays, 1))
+    o, d = jnp.asarray(origins), jnp.asarray(dirs)
+
+    # adequately sized: not overflowed, and counts bound the needed capacity
+    report = raytrace_overflow_report(octree, ph, pyramid, exsum, o, d, lvl,
+                                      max_nuggets=n_rays * 64)
+    assert not report["overflowed"]
+    assert report["max_level_count"] > 0
+    need = report["max_level_count"]
+
+    # undersized: flagged
+    small = raytrace_overflow_report(octree, ph, pyramid, exsum, o, d, lvl,
+                                     max_nuggets=max(need // 4, 1))
+    assert small["overflowed"]
+
+    # oracle nuggets from a generous explicit capacity
+    ridx_big, pidx_big, _ = unbatched_raytrace(
+        octree, ph, pyramid, exsum, o, d, lvl, max_nuggets=n_rays * 64)
+    # auto mode (tiny initial capacity internally grows): identical output
+    ridx_auto, pidx_auto, _ = unbatched_raytrace(
+        octree, ph, pyramid, exsum, o, d, lvl, max_nuggets=None)
+    np.testing.assert_array_equal(np.asarray(ridx_auto), np.asarray(ridx_big))
+    np.testing.assert_array_equal(np.asarray(pidx_auto), np.asarray(pidx_big))
+
+    # explicit undersized capacity: warns, returns truncated set
+    import warnings as _w
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        ridx_tr, _, _ = unbatched_raytrace(
+            octree, ph, pyramid, exsum, o, d, lvl,
+            max_nuggets=max(need // 4, 1))
+    assert any("overflow" in str(r.message) for r in rec)
+    assert len(np.asarray(ridx_tr)) <= len(np.asarray(ridx_big))
