@@ -4,49 +4,66 @@ accelerator.
 Prints ONE JSON line:
 ``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "components": {...}}``
 
-Two components (BASELINE.md targets):
-  1. Simplicits sim steps/sec — config mirrors the reference's physics
-     benchmark defaults (``tests/benchmarks/README.md``: ~1000 samples/object
-     in a unit box, dt=0.01, 5 Newton steps, 20 line-search steps, direct
-     solve) on the cube-drop scene of the FEM regression test.
-  2. DIB-R fwd+bwd frames/sec @512² — pose+texture optimization iteration
-     (gradients w.r.t. vertex image coords AND per-face features) on a
-     ~5000-face sphere, the dibr tutorial workload.
+Six components covering all five BASELINE.json configs plus the
+collision-at-scale scene (VERDICT r2 #1/#2). Bars are ABSOLUTE A100 targets
+derived from the reference kernels' arithmetic (launch counts, memory
+traffic, host syncs) — full derivations in BASELINE.md §"A100 comparator":
 
-The reference repo publishes no numbers and no GPU exists in this
-environment, so ``vs_baseline`` is the geometric mean of per-component
-ratios against ABSOLUTE TARGET BARS derived from the reference kernels'
-arithmetic on A100 specs (methodology in BASELINE.md §"A100 comparator"):
-  * Simplicits: 150 steps/s (6.7 ms/step) — the reference's host-synced
-    Newton loop (energy .numpy() readbacks + ~100 launches/step) is
-    launch-bound near this rate at 1000 qp / 33 handles.
-  * DIB-R fwd+bwd @512²: 40 fps (25 ms) — the reference's per-pixel
-    all-faces CUDA loops cost ~10G ops/pass; with backward atomics and
-    knum soft-mask passes, 25 ms is a defensible A100 iteration time.
-``vs_baseline`` > 1 therefore means "beats the A100 reference estimate on
-one v5-lite chip" (v5p, the stated target hardware, is ~4x a v5-lite).
+  1. Simplicits sim steps/s            (config 1)   bar 150 steps/s
+  2. DIB-R fwd+bwd fps @512²           (config 2)   bar 40 fps
+  3. SPC raytrace fps @512², level 9   (config 3)   bar 2000 fps
+  4. FlexiCubes SDF-opt iters/s res 64 (config 4)   bar 300 iters/s
+  5. Simulatable-3DGS scene steps/s    (config 5)   bar 120 steps/s
+  6. Collision scene N≥10k steps/s     (VERDICT #1)  bar 100 steps/s
+
+``vs_baseline`` is the geometric mean of the six ratios; > 1 means "beats
+the A100 reference estimate on one v5-lite chip" (v5p, the stated target
+hardware, is faster per chip — treated as an UNMEASURED estimate, see
+BASELINE.md).
+
+CLI: ``python bench.py [--component NAME] [--smoke]`` — ``--smoke`` shrinks
+every config for a fast CPU correctness pass (numbers meaningless).
 """
 
+import argparse
 import json
 import time
 
 import numpy as np
 
-A100_SIM_STEPS_PER_SEC = 150.0  # absolute bar; derivation in BASELINE.md
-A100_DIBR_FWDBWD_FPS = 40.0     # absolute bar; derivation in BASELINE.md
+BARS = {
+    "simplicits": 150.0,   # steps/s
+    "dibr": 40.0,          # fps
+    "raytrace": 2000.0,    # fps
+    "flexicubes": 300.0,   # iters/s
+    "gaussians_sim": 120.0,  # steps/s
+    "collision_10k": 100.0,  # steps/s
+}
 
 
-def bench_simplicits(num_qp=1000, num_handles=33, num_steps=50, dt=0.01):
-    import jax
+def _best_of(k, fn, sync):
+    """Best rate over k timed repetitions (axon tunnel RPC jitter)."""
+    best = 0.0
+    for _ in range(k):
+        t0 = time.perf_counter()
+        n = fn()
+        sync()
+        best = max(best, n / (time.perf_counter() - t0))
+    return best
+
+
+# ---------------------------------------------------------------------------
+# 1. Simplicits (config 1)
+# ---------------------------------------------------------------------------
+
+def _synthetic_skinned_points(rng, pts, num_handles, yms=1e4, rhos=500.0,
+                              appx_vol=1.0):
+    """Baked physics points with a smooth synthetic skinning field standing
+    in for a trained MLP (same operator shapes/FLOPs as the trained path)."""
     import jax.numpy as jnp
+    from kaolin_tpu.physics.simplicits import SkinnedPhysicsPoints
 
-    from kaolin_tpu.physics.simplicits import SimplicitsScene, SkinnedPhysicsPoints
-
-    rng = np.random.RandomState(0)
-    pts = rng.uniform(-0.5, 0.5, (num_qp, 3)).astype(np.float32)
-
-    # smooth synthetic skinning field standing in for a trained MLP
-    # (same operator shapes/FLOPs as the trained path)
+    num_qp = pts.shape[0]
     freqs = rng.randn(3, num_handles - 1).astype(np.float32)
     phases = rng.rand(num_handles - 1).astype(np.float32)
 
@@ -63,9 +80,19 @@ def bench_simplicits(num_qp=1000, num_handles=33, num_steps=50, dt=0.01):
         wp_ = np.asarray(weight_fn(jnp.asarray(pp)))
         wm_ = np.asarray(weight_fn(jnp.asarray(pm)))
         dwdx[:, :-1, a] = (wp_ - wm_) / (2 * eps)
+    return SkinnedPhysicsPoints(pts=pts, yms=yms, prs=0.45, rhos=rhos,
+                                appx_vol=appx_vol, skinning_weights=w,
+                                dwdx=dwdx)
 
-    baked = SkinnedPhysicsPoints(pts=pts, yms=1e4, prs=0.45, rhos=500.0,
-                                 appx_vol=1.0, skinning_weights=w, dwdx=dwdx)
+
+def bench_simplicits(num_qp=1000, num_handles=33, num_steps=50, dt=0.01):
+    import jax
+    import jax.numpy as jnp
+    from kaolin_tpu.physics.simplicits import SimplicitsScene
+
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-0.5, 0.5, (num_qp, 3)).astype(np.float32)
+    baked = _synthetic_skinned_points(rng, pts, num_handles)
     scene = SimplicitsScene(timestep=dt, max_newton_steps=5, max_ls_steps=20,
                             direct_solve=True)
     scene.add_object(baked)
@@ -76,16 +103,17 @@ def bench_simplicits(num_qp=1000, num_handles=33, num_steps=50, dt=0.01):
     scene.run_sim_step()  # compile
     jax.block_until_ready(scene.sim_z)
 
-    # best of 2: the axon tunnel's RPC latency jitters run to run
-    best = 0.0
-    for _ in range(2):
-        t0 = time.perf_counter()
+    def run():
         for _ in range(num_steps):
             scene.run_sim_step()
-        jax.block_until_ready(scene.sim_z)
-        best = max(best, num_steps / (time.perf_counter() - t0))
-    return best
+        return num_steps
 
+    return _best_of(2, run, lambda: jax.block_until_ready(scene.sim_z))
+
+
+# ---------------------------------------------------------------------------
+# 2. DIB-R (config 2)
+# ---------------------------------------------------------------------------
 
 def _uv_sphere(n_lat=40, n_lon=64):
     lat = np.linspace(0.1, np.pi - 0.1, n_lat)
@@ -105,14 +133,13 @@ def _uv_sphere(n_lat=40, n_lon=64):
     return v.astype(np.float32), np.asarray(faces, np.int32)
 
 
-def bench_dibr(height=512, width=512, num_iters=20):
+def bench_dibr(height=512, width=512, num_iters=20, n_lat=40, n_lon=64):
     """One pose+texture optimization iteration: dibr_rasterization fwd+bwd."""
     import jax
     import jax.numpy as jnp
-
     from kaolin_tpu.render.mesh.dibr import dibr_rasterization
 
-    v, f = _uv_sphere()
+    v, f = _uv_sphere(n_lat, n_lon)
     num_faces = f.shape[0]
     cam = v + np.array([0, 0, -3.0], np.float32)
     z = cam[:, 2]
@@ -124,7 +151,6 @@ def bench_dibr(height=512, width=512, num_iters=20):
         np.random.RandomState(0).rand(1, num_faces, 3, 3).astype(np.float32))
     nz = jnp.ones((1, num_faces), jnp.float32)
 
-    # tight per-tile face capacity computed once host-side (public knob)
     from kaolin_tpu.render.mesh import suggest_tile_cap
     tile_cap = suggest_tile_cap(fv_img, height, width)
 
@@ -138,34 +164,332 @@ def bench_dibr(height=512, width=512, num_iters=20):
 
     out = step(fv_img, feat)
     jax.block_until_ready(out)
-    best = 0.0
-    for _ in range(2):  # best of 2: tunnel RPC jitter
-        t0 = time.perf_counter()
-        for _ in range(num_iters):
-            out = step(fv_img, feat)
-        jax.block_until_ready(out)
-        best = max(best, num_iters / (time.perf_counter() - t0))
-    return best
+    holder = {}
 
+    def run():
+        for _ in range(num_iters):
+            holder["out"] = step(fv_img, feat)
+        return num_iters
+
+    return _best_of(2, run, lambda: jax.block_until_ready(holder["out"]))
+
+
+# ---------------------------------------------------------------------------
+# 3. SPC raytrace (config 3)
+# ---------------------------------------------------------------------------
+
+def bench_raytrace(level=9, res=512, num_frames=20):
+    """nglod-style depth render: pinhole rays vs a sphere-shell SPC at
+    ``level``; one jitted program = generate rays → BFS traversal →
+    per-ray first-hit depth image."""
+    import jax
+    import jax.numpy as jnp
+    from kaolin_tpu.ops.spc import scan_octrees, unbatched_points_to_octree
+    from kaolin_tpu.render.camera import Camera, generate_rays
+    from kaolin_tpu.render.spc.raytrace import (_raytrace_fixed,
+                                                raytrace_overflow_report)
+
+    # dense unit-sphere shell voxelized at 2^level (analytic; build cost is
+    # one-time setup and excluded, like the reference bench would exclude
+    # octree construction from render fps)
+    rng = np.random.RandomState(0)
+    grid = 2 ** level
+    d = rng.randn(400_000, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    # two radii so shells are watertight at level-9 resolution
+    pts = np.concatenate([d * 0.62, d * 0.618])
+    q = np.unique(np.clip(((pts + 1) * 0.5 * grid).astype(np.int64), 0,
+                          grid - 1), axis=0)
+    octree = unbatched_points_to_octree(jnp.asarray(q.astype(np.int16)), level)
+    lengths = np.array([len(octree)], dtype=np.int32)
+    _, pyramids, exsum = scan_octrees(octree, lengths)
+    pyramid = np.asarray(pyramids)[0]
+
+    camera = Camera.from_args(eye=jnp.asarray([1.6, 1.1, 1.6]),
+                              at=jnp.zeros(3), up=jnp.asarray([0., 1., 0.]),
+                              fov=0.8, width=res, height=res)
+    origins, dirs = generate_rays(camera)
+    origins = jnp.asarray(origins, jnp.float32)
+    dirs = jnp.asarray(dirs, jnp.float32)
+    num_rays = origins.shape[0]
+
+    # size the buffer once via the report (power-of-2 growth), then render at
+    # a fixed validated capacity
+    cap = max(4 * num_rays, 1024)
+    while raytrace_overflow_report(octree, None, pyramid, exsum, origins,
+                                   dirs, level, cap)["overflowed"]:
+        cap *= 2
+
+    octree_j = jnp.asarray(octree)
+    exsum_j = jnp.asarray(exsum)
+
+    @jax.jit
+    def render_depth(o, v):
+        ridx, _, t_in, _, valid, _, _ = _raytrace_fixed(
+            octree_j, exsum_j, o, v, level, cap)
+        # first-hit depth per ray (nuggets are front-to-back: min == first)
+        t = jnp.where(valid, t_in, jnp.inf)
+        img = jnp.full((num_rays,), jnp.inf, t.dtype).at[ridx].min(t)
+        return img.reshape(res, res)
+
+    out = render_depth(origins, dirs)
+    jax.block_until_ready(out)
+    holder = {}
+
+    def run():
+        for _ in range(num_frames):
+            holder["out"] = render_depth(origins, dirs)
+        return num_frames
+
+    fps = _best_of(2, run, lambda: jax.block_until_ready(holder["out"]))
+    return fps
+
+
+# ---------------------------------------------------------------------------
+# 4. FlexiCubes SDF optimization (config 4)
+# ---------------------------------------------------------------------------
+
+def bench_flexicubes(res=64, num_iters=10):
+    """Differentiable SDF→mesh shape-optimization inner loop at the
+    reference tutorial resolution: host topology refresh + jitted
+    value_and_grad + Adam update per iteration."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from kaolin_tpu.ops.conversions import FlexiCubes
+
+    fc = FlexiCubes()
+    grid_verts, cube_idx = fc.construct_voxel_grid(res)
+    grid_verts = jnp.asarray(grid_verts)
+    scale = jnp.asarray([1.6, 0.7, 1.0])
+    sdf = jnp.linalg.norm(grid_verts * scale, axis=-1) - 0.35
+
+    def loss_fn(sdf, topology):
+        verts, faces, reg = fc(grid_verts, sdf, cube_idx, res,
+                               topology=topology, training=True)[:3]
+        d = jnp.abs(jnp.linalg.norm(verts, axis=-1) - 0.35)
+        return jnp.mean(d) + 0.01 * jnp.mean(reg)
+
+    # topology is host-side static index structure (changes with the sign
+    # field), so the grad is traced per-iteration rather than jitted whole
+    grad_fn = jax.value_and_grad(loss_fn)
+    opt = optax.adam(2e-2)
+    state = opt.init(sdf)
+
+    @jax.jit
+    def apply(sdf, g, state):
+        updates, state = opt.update(g, state)
+        return optax.apply_updates(sdf, updates), state
+
+    def one_iter(sdf, state):
+        topology = fc.precompute_topology(np.asarray(sdf), cube_idx, res)
+        val, g = grad_fn(sdf, topology)
+        sdf, state = apply(sdf, g, state)
+        return sdf, state
+
+    sdf, state = one_iter(sdf, state)  # compile
+    jax.block_until_ready(sdf)
+    box = {"sdf": sdf, "state": state}
+
+    def run():
+        for _ in range(num_iters):
+            box["sdf"], box["state"] = one_iter(box["sdf"], box["state"])
+        return num_iters
+
+    return _best_of(2, run, lambda: jax.block_until_ready(box["sdf"]))
+
+
+# ---------------------------------------------------------------------------
+# 5. Simulatable 3DGS scene (config 5)
+# ---------------------------------------------------------------------------
+
+def bench_gaussians_sim(num_gaussians=2000, num_qp=2048, num_handles=16,
+                        num_steps=30):
+    """simulatable_3dgrut workload: gaussian shell → volumetric densifier →
+    Simplicits body with grid collisions (auto default at this qp count) +
+    floor → sim steps, LBS-moving the renderable gaussians each step."""
+    import jax
+    import jax.numpy as jnp
+    from kaolin_tpu.ops.gaussians import sample_points_in_volume
+    from kaolin_tpu.physics.simplicits import (PhysicsPoints,
+                                               SimplicitsObject,
+                                               SimplicitsScene)
+
+    rng = np.random.RandomState(0)
+    d = rng.randn(num_gaussians, 3)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    xyz = (0.4 * d + np.array([0.0, 0.6, 0.0])).astype(np.float32)
+    scales = np.full((num_gaussians, 3), 0.05, np.float32)
+    rots = np.tile(np.array([1.0, 0, 0, 0], np.float32), (num_gaussians, 1))
+    opac = np.full((num_gaussians,), 0.9, np.float32)
+
+    vol_pts = sample_points_in_volume(xyz, scales, rots, opac,
+                                      octree_level=6, num_samples=num_qp,
+                                      method="floodfill")
+    phys = PhysicsPoints(pts=vol_pts, yms=2e5, prs=0.45, rhos=500.0,
+                         appx_vol=4 / 3 * np.pi * 0.4 ** 3)
+    freqs = jnp.asarray(rng.randn(3, num_handles - 1).astype(np.float32))
+    obj = SimplicitsObject.create_from_function(
+        phys, lambda x: jnp.sin(x @ freqs))
+
+    scene = SimplicitsScene(timestep=0.03, max_newton_steps=5,
+                            max_ls_steps=20, direct_solve=True)
+    obj_idx = scene.add_object(obj, num_qp=num_qp,
+                               renderable_pts=jnp.asarray(xyz))
+    scene.set_scene_gravity(jnp.asarray([0.0, 9.8, 0.0]))
+    scene.set_scene_floor(floor_height=0.0, floor_penalty=1000.0)
+    scene.enable_collisions()  # auto → grid at this scale
+
+    scene.run_sim_step()
+    moved = scene.get_object_deformed_pts(obj_idx, points="rendered")
+    jax.block_until_ready(moved)
+    holder = {}
+
+    def run():
+        for _ in range(num_steps):
+            scene.run_sim_step()
+            holder["m"] = scene.get_object_deformed_pts(obj_idx,
+                                                        points="rendered")
+        return num_steps
+
+    return _best_of(2, run, lambda: jax.block_until_ready(holder["m"]))
+
+
+# ---------------------------------------------------------------------------
+# 6. Collision scene at N >= 10k (VERDICT r2 #1)
+# ---------------------------------------------------------------------------
+
+def bench_collision_10k(num_objects=6, qp_per_object=1700, num_handles=6,
+                        kinematic_qp=512, num_steps=20, dt=0.02):
+    """Multi-object contact at scale: ``num_objects`` soft cubes clustered
+    above a kinematic plate, grid broad phase (the auto default at this
+    particle count), floor + gravity. N = objects*qp + plate >= 10k contact
+    particles, with real inter-object contacts every step."""
+    import jax
+    import jax.numpy as jnp
+    from kaolin_tpu.physics.simplicits import (SimplicitsScene,
+                                               SkinnedPhysicsPoints)
+
+    rng = np.random.RandomState(0)
+    scene = SimplicitsScene(timestep=dt, max_newton_steps=5, max_ls_steps=20,
+                            direct_solve=True)
+    # cluster of touching soft cubes (side 0.5) in two stacked rings
+    for i in range(num_objects):
+        ang = 2 * np.pi * (i % 3) / 3
+        center = np.array([0.33 * np.cos(ang), 0.1 + 0.45 * (i // 3),
+                           0.33 * np.sin(ang)], np.float32)
+        pts = (center + rng.uniform(-0.25, 0.25, (qp_per_object, 3))
+               ).astype(np.float32)
+        baked = _synthetic_skinned_points(rng, pts, num_handles,
+                                          appx_vol=0.125)
+        scene.add_object(baked)
+
+    # kinematic plate below
+    side = int(np.ceil(np.sqrt(kinematic_qp)))
+    gx, gz = np.meshgrid(np.linspace(-0.8, 0.8, side),
+                         np.linspace(-0.8, 0.8, side))
+    kpts = np.stack([gx.ravel(), np.full(side * side, -0.55), gz.ravel()],
+                    axis=1)[:kinematic_qp].astype(np.float32)
+    kin = SkinnedPhysicsPoints(
+        pts=kpts, yms=1e5, prs=0.45, rhos=1000.0, appx_vol=0.2,
+        skinning_weights=np.ones((kinematic_qp, 1), np.float32),
+        dwdx=np.zeros((kinematic_qp, 1, 3), np.float32))
+    scene.add_object(kin, is_kinematic=True, apply_qr=False,
+                     normalize_weights_by_samples=False)
+
+    scene.set_scene_gravity(jnp.asarray([0.0, 9.8, 0.0]))
+    scene.set_scene_floor(floor_height=-0.6, floor_penalty=10000.0)
+    scene.enable_collisions(collision_particle_radius=0.03,
+                            max_contact_pairs=40000)
+
+    col = scene.force_dict["collision"]["object"]
+    if scene.total_qp >= scene.GRID_BROAD_PHASE_THRESHOLD:
+        assert col.broad_phase == "grid", \
+            "auto default must pick grid at N>=10k"
+
+    scene.run_sim_step()
+    jax.block_until_ready(scene.sim_z)
+
+    def run():
+        for _ in range(num_steps):
+            scene.run_sim_step()
+        return num_steps
+
+    rate = _best_of(2, run, lambda: jax.block_until_ready(scene.sim_z))
+    diag = scene.collision_diagnostics()
+    rate_meta = {"num_particles": int(scene.total_qp),
+                 "num_pairs": int(diag["num_pairs"]),
+                 "cell_overflow": bool(diag.get("cell_overflow", False)),
+                 "contacts_overflow": bool(diag["contacts_overflow"])}
+    return rate, rate_meta
+
+
+# ---------------------------------------------------------------------------
 
 def main():
-    steps_per_sec = bench_simplicits()
-    dibr_fps = bench_dibr()
-    r_sim = steps_per_sec / A100_SIM_STEPS_PER_SEC
-    r_dibr = dibr_fps / A100_DIBR_FWDBWD_FPS
-    geomean = float(np.sqrt(r_sim * r_dibr))
-    print(json.dumps({
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--component", choices=sorted(BARS), default=None)
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny shapes, CPU-friendly correctness pass")
+    args = ap.parse_args()
+
+    smoke = args.smoke
+    if smoke:
+        # CPU correctness pass: the axon site plugin overrides the env var
+        # alone, so set both (see tests/conftest.py)
+        import os
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    runners = {
+        "simplicits": lambda: bench_simplicits(
+            num_qp=64 if smoke else 1000, num_handles=5 if smoke else 33,
+            num_steps=3 if smoke else 50),
+        "dibr": lambda: bench_dibr(
+            height=64 if smoke else 512, width=64 if smoke else 512,
+            num_iters=2 if smoke else 20,
+            n_lat=8 if smoke else 40, n_lon=12 if smoke else 64),
+        "raytrace": lambda: bench_raytrace(
+            level=5 if smoke else 9, res=32 if smoke else 512,
+            num_frames=2 if smoke else 20),
+        "flexicubes": lambda: bench_flexicubes(
+            res=12 if smoke else 64, num_iters=2 if smoke else 10),
+        "gaussians_sim": lambda: bench_gaussians_sim(
+            num_gaussians=200 if smoke else 2000,
+            num_qp=128 if smoke else 2048, num_handles=4 if smoke else 16,
+            num_steps=3 if smoke else 30),
+        "collision_10k": lambda: bench_collision_10k(
+            num_objects=2 if smoke else 6,
+            qp_per_object=40 if smoke else 1700,
+            num_handles=3 if smoke else 6,
+            kinematic_qp=16 if smoke else 512,
+            num_steps=2 if smoke else 20),
+    }
+    selected = [args.component] if args.component else sorted(BARS)
+
+    components = {}
+    ratios = []
+    extras = {}
+    for name in selected:
+        out = runners[name]()
+        if isinstance(out, tuple):
+            out, meta = out
+            extras[name] = meta
+        components[name] = round(out, 2)
+        ratios.append(out / BARS[name])
+        components[f"{name}_vs_a100"] = round(out / BARS[name], 3)
+
+    geomean = float(np.exp(np.mean(np.log(ratios))))
+    payload = {
         "metric": "northstar_speedup_vs_a100_geomean",
         "value": round(geomean, 3),
         "unit": "x",
         "vs_baseline": round(geomean, 3),
-        "components": {
-            "simplicits_sim_steps_per_sec": round(steps_per_sec, 2),
-            "dibr_fwdbwd_fps_512": round(dibr_fps, 2),
-            "simplicits_vs_a100": round(r_sim, 3),
-            "dibr_vs_a100": round(r_dibr, 3),
-        },
-    }))
+        "components": components,
+    }
+    if extras:
+        payload["meta"] = extras
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

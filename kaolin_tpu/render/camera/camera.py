@@ -156,6 +156,52 @@ class Camera:
             return generate_pinhole_rays(self, coords_grid)
         return generate_ortho_rays(self, coords_grid)
 
+    # -- differentiable-param machinery (ref :416-466, :686) --
+    def parameters(self):
+        """(extrinsics params, intrinsics params) buffers. Ref :416."""
+        return self.extrinsics.parameters(), self.intrinsics.parameters()
+
+    def gradient_mask(self, *args):
+        """(extrinsics mask, intrinsics mask) boolean masks selecting the
+        named params as trainable; string args are routed to extrinsics
+        (``'R'``/``'t'``) or intrinsics (e.g. ``'focal_x'``) by name.
+        Ref :426. The extrinsics camera axes are always masked together.
+
+        JAX idiom — mask the cotangents instead of a torch hook::
+
+            m_ext, m_int = camera.gradient_mask('t', 'focal_x', 'focal_y')
+            (g_ext, g_int) = jax.grad(loss)((camera.extrinsics.params,
+                                             camera.intrinsics.params))
+            g_ext, g_int = g_ext * m_ext, g_int * m_int
+        """
+        ext_names = ("R", "t")
+        ext_args, int_args = [], []
+        for a in args:
+            name = a if isinstance(a, str) else a.name
+            (ext_args if name in ext_names else int_args).append(name)
+        return (self.extrinsics.gradient_mask(*ext_args),
+                self.intrinsics.gradient_mask(*int_args))
+
+    def named_params(self):
+        """Descriptive list of named parameters per camera (extrinsics +
+        intrinsics merged). Ref :686."""
+        return [dict(e, **i) for e, i in zip(self.extrinsics.named_params(),
+                                             self.intrinsics.named_params())]
+
+    def to_dict(self):
+        """JSON/YAML-writable dict; round-trips via :meth:`from_dict`."""
+        return {"classname": "Camera",
+                "extrinsics": self.extrinsics.to_dict(),
+                "intrinsics": self.intrinsics.as_dict()}
+
+    @classmethod
+    def from_dict(cls, d, dtype=jnp.float32):
+        if d.get("classname") != "Camera":
+            raise ValueError(f"not a Camera dict: {d.get('classname')}")
+        from kaolin_tpu.render.camera.intrinsics import CameraIntrinsics
+        return cls(CameraExtrinsics.from_dict(d["extrinsics"], dtype=dtype),
+                   CameraIntrinsics.from_dict(d["intrinsics"], dtype=dtype))
+
     @classmethod
     def cat(cls, cameras):
         """Concatenate same-type cameras along the batch dim. Ref :594."""

@@ -272,6 +272,63 @@ class CameraExtrinsics:
         return [{"R": np.asarray(self.R[i]), "t": np.asarray(self.t[i, :, 0])}
                 for i in range(len(self))]
 
+    # -- differentiable-param machinery (ref :977-1146) --
+    def parameters(self):
+        """The backend-dependent differentiable parameter buffer (C, P).
+        Ref :977."""
+        return self.params
+
+    def param_idx(self, param):
+        """Indices of ``param`` (an :class:`ExtrinsicsParamsDefEnum` or its
+        string name) inside the params vector; backend dependent. Ref
+        extrinsics_backends.py:96,172,251."""
+        from kaolin_tpu.render.camera.extrinsics_backends import (
+            ExtrinsicsParamsDefEnum, get_backend)
+        if isinstance(param, str):
+            param = ExtrinsicsParamsDefEnum[param]
+        if self.backend == "matrix_se3":
+            # row-major 3x4 [R|t]... our layout is 9 R entries then 3 t
+            return (list(range(9)) if param == ExtrinsicsParamsDefEnum.R
+                    else [9, 10, 11])
+        if self.backend == "matrix_6dof_rotation":
+            return (list(range(6)) if param == ExtrinsicsParamsDefEnum.R
+                    else [6, 7, 8])
+        rep = get_backend(self.backend)
+        if rep is None or not hasattr(rep, "param_idx"):
+            raise ValueError(
+                f"backend {self.backend!r} does not define param_idx")
+        return rep.param_idx(param)
+
+    def gradient_mask(self, *args):
+        """Boolean mask over :meth:`parameters` selecting the named params as
+        trainable (ref :1112). The 3 camera axes (R) are always masked
+        together, keeping the view matrix orthogonalizable.
+
+        JAX idiom — multiply the cotangent rather than registering a hook::
+
+            mask = extrinsics.gradient_mask('t')
+            g = jax.grad(loss)(extrinsics.params)
+            g = g * mask                       # only translation trains
+        """
+        mask = np.zeros(np.asarray(self.params).shape, dtype=bool)
+        for param in args:
+            mask[:, self.param_idx(param)] = True
+        return jnp.asarray(mask)
+
+    def to_dict(self):
+        """JSON/YAML-writable constructor dict; round-trips via
+        :meth:`from_dict`."""
+        return {"classname": "CameraExtrinsics",
+                "backend": self.backend,
+                "params": np.asarray(self.params).tolist()}
+
+    @classmethod
+    def from_dict(cls, d, dtype=jnp.float32):
+        if d.get("classname") != "CameraExtrinsics":
+            raise ValueError(f"not a CameraExtrinsics dict: {d.get('classname')}")
+        return cls(jnp.asarray(d["params"], dtype=dtype),
+                   backend=d["backend"])
+
 
 def allclose(input, other, rtol=1e-05, atol=1e-08, equal_nan=False):
     """Elementwise-closeness of two CameraExtrinsics (same backend and

@@ -112,6 +112,78 @@ class CameraIntrinsics:
             [self.params[item].reshape(-1, self.params.shape[-1])])
         return out
 
+    # -- differentiable-param machinery (ref :304-434, :148-172) --
+    PARAMS = ()  # subclass param slot names, in buffer order
+
+    def parameters(self):
+        """The differentiable (C, P) parameter buffer. Ref :281."""
+        return self.params
+
+    @classmethod
+    def param_types(cls):
+        """Names of the per-camera parameter slots, in buffer order.
+        Ref :304 (returned as a tuple of strings rather than an IntEnum —
+        index == buffer position)."""
+        return cls.PARAMS
+
+    def param_count(self):
+        """Number of intrinsic parameters per camera. Ref :314."""
+        return len(self.param_types())
+
+    def named_params(self):
+        """Descriptive list of {name: value} per camera. Ref :321."""
+        import numpy as np
+        p = np.asarray(self.params)
+        return [{name: float(p[c, i])
+                 for i, name in enumerate(self.param_types())}
+                for c in range(len(self))]
+
+    def gradient_mask(self, *args):
+        """Boolean mask over :meth:`parameters` selecting the named params
+        as trainable (ref :404). Accepts slot names (e.g. ``'focal_x'``).
+
+        JAX idiom::
+
+            mask = intrinsics.gradient_mask('focal_x', 'focal_y')
+            g = jax.grad(loss)(intrinsics.params) * mask
+        """
+        import numpy as np
+        names = self.param_types()
+        mask = np.zeros(np.asarray(self.params).shape, dtype=bool)
+        for a in args:
+            name = a if isinstance(a, str) else a.name
+            if name not in names:
+                raise ValueError(
+                    f"unknown intrinsics param {name!r}; valid: {names}")
+            mask[:, names.index(name)] = True
+        return jnp.asarray(mask)
+
+    def as_dict(self):
+        """JSON/YAML-writable constructor dict (ref :148); round-trips via
+        :meth:`from_dict`."""
+        import numpy as np
+        return {"classname": type(self).__name__,
+                "width": self.width, "height": self.height,
+                "near": self.near, "far": self.far,
+                "ndc_min": self.ndc_min, "ndc_max": self.ndc_max,
+                "params": np.asarray(self.params).tolist()}
+
+    @staticmethod
+    def from_dict(in_dict, dtype=jnp.float32):
+        """Rebuild the right CameraIntrinsics subclass from :meth:`as_dict`
+        output. Ref :160."""
+        registry = {c.__name__: c for c in CameraIntrinsics.__subclasses__()}
+        name = in_dict.get("classname")
+        if name not in registry:
+            raise ValueError(f"classname {name!r} not a registered "
+                             f"CameraIntrinsics subclass: {sorted(registry)}")
+        cls = registry[name]
+        return cls(in_dict["width"], in_dict["height"],
+                   jnp.asarray(in_dict["params"], dtype=dtype),
+                   in_dict.get("near", DEFAULT_NEAR),
+                   in_dict.get("far", DEFAULT_FAR),
+                   in_dict.get("ndc_min", -1.0), in_dict.get("ndc_max", 1.0))
+
 
 @jax.tree_util.register_pytree_node_class
 class PinholeIntrinsics(CameraIntrinsics):
