@@ -251,8 +251,10 @@ def bench_raytrace(level=9, res=512, num_frames=20):
 
 def bench_flexicubes(res=64, num_iters=10):
     """Differentiable SDF→mesh shape-optimization inner loop at the
-    reference tutorial resolution: host topology refresh + jitted
-    value_and_grad + Adam update per iteration."""
+    reference tutorial resolution. Uses the fully on-device static-capacity
+    path (FlexiCubes.jit_extract): topology + geometry + grad + Adam update
+    are ONE compiled program per iteration — no host topology refresh, no
+    retracing when the sign pattern changes."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -262,32 +264,25 @@ def bench_flexicubes(res=64, num_iters=10):
     grid_verts, cube_idx = fc.construct_voxel_grid(res)
     grid_verts = jnp.asarray(grid_verts)
     scale = jnp.asarray([1.6, 0.7, 1.0])
-    sdf = jnp.linalg.norm(grid_verts * scale, axis=-1) - 0.35
+    sdf0 = jnp.linalg.norm(grid_verts * scale, axis=-1) - 0.35
 
-    def loss_fn(sdf, topology):
-        verts, faces, reg = fc(grid_verts, sdf, cube_idx, res,
-                               topology=topology, training=True)[:3]
-        d = jnp.abs(jnp.linalg.norm(verts, axis=-1) - 0.35)
-        return jnp.mean(d) + 0.01 * jnp.mean(reg)
+    def loss_fn(sdf):
+        verts, faces, reg, aux = fc.jit_extract(grid_verts, sdf, cube_idx,
+                                                res, training=True)
+        vm = aux["vertex_mask"]
+        d = jnp.abs(jnp.linalg.norm(verts, axis=-1) - 0.35) * vm
+        return (jnp.sum(d) / jnp.clip(jnp.sum(vm), 1, None)
+                + 0.01 * jnp.sum(reg) / jnp.clip(jnp.sum(vm), 1, None))
 
-    # topology is host-side static index structure (changes with the sign
-    # field), so the grad is traced per-iteration rather than jitted whole
-    grad_fn = jax.value_and_grad(loss_fn)
     opt = optax.adam(2e-2)
-    state = opt.init(sdf)
 
     @jax.jit
-    def apply(sdf, g, state):
+    def one_iter(sdf, state):
+        val, g = jax.value_and_grad(loss_fn)(sdf)
         updates, state = opt.update(g, state)
         return optax.apply_updates(sdf, updates), state
 
-    def one_iter(sdf, state):
-        topology = fc.precompute_topology(np.asarray(sdf), cube_idx, res)
-        val, g = grad_fn(sdf, topology)
-        sdf, state = apply(sdf, g, state)
-        return sdf, state
-
-    sdf, state = one_iter(sdf, state)  # compile
+    sdf, state = one_iter(sdf0, opt.init(sdf0))  # compile
     jax.block_until_ready(sdf)
     box = {"sdf": sdf, "state": state}
 

@@ -484,6 +484,235 @@ class FlexiCubes:
             return vertices, faces, l_dev, vd_features
         return vertices, faces, l_dev
 
+    # ---------------- fully on-device static-capacity path ----------------
+    @staticmethod
+    def static_capacities(resolution, cube_factor=8, edge_factor=4,
+                          quad_factor=3):
+        """Default capacity bounds for :meth:`jit_extract`: a closed surface
+        in an R³ grid crosses O(R²) cubes, so caps scale with R² (validated
+        by the ``counts`` output; grow on overflow)."""
+        if isinstance(resolution, (list, tuple)):
+            resolution = max(resolution)
+        r2 = resolution * resolution
+        return {"cubes": int(cube_factor * r2),
+                "quads": int(quad_factor * r2)}
+
+    def _resolve_ambiguities_device(self, case_full, surf, resolution):
+        """On-device C16/C19 ambiguity inversion over the FULL cube grid
+        (jnp analog of :meth:`_resolve_ambiguities`)."""
+        if not isinstance(resolution, (list, tuple)):
+            resolution = (resolution, resolution, resolution)
+        rx, ry, rz = resolution
+        c = case_full.shape[0]
+        cfg = jnp.asarray(CHECK_TABLE)[case_full]            # (C, 5)
+        to_check = (cfg[:, 0] == 1) & surf
+        cfg = jnp.where(to_check[:, None], cfg, 0)
+        # cube linear index → (x, y, z), x-major like construct_voxel_grid
+        lin = jnp.arange(c)
+        cz = lin % rz
+        cy = (lin // rz) % ry
+        cx = lin // (rz * ry)
+        adj = jnp.stack([cx, cy, cz], -1) + cfg[:, 1:4]
+        within = jnp.all((adj >= 0) & (adj < jnp.asarray([rx, ry, rz])), -1)
+        adj_lin = jnp.clip((adj[:, 0] * ry + adj[:, 1]) * rz + adj[:, 2],
+                           0, c - 1)
+        neighbor_flagged = cfg[:, 0][adj_lin] == 1
+        invert = to_check & within & neighbor_flagged
+        return jnp.where(invert, cfg[:, 4], case_full)
+
+    def jit_extract(self, voxelgrid_vertices, scalar_field, cube_idx,
+                    resolution, capacities=None, weight_scale=0.99,
+                    beta=None, alpha=None, gamma_f=None, training=False):
+        """Capacity-bounded FlexiCubes extraction that runs ENTIRELY on
+        device — topology (sign-dependent index structure) AND geometry in
+        one traceable computation, so an SDF-optimization iteration is a
+        single jit with no host topology refresh (the TPU-native form of the
+        reference loop; the reference re-runs its @torch.no_grad topology
+        kernels on the GPU every call, ref :154).
+
+        Differences from :meth:`__call__`'s host-topology path:
+
+        * dual vertices live in a uniform ``4`` slots per surface cube
+          (``NUM_VD_TABLE`` max) instead of the compacted host layout, so
+          outputs have static shapes;
+        * returns ``(vertices, faces, l_dev, aux)`` with fixed shapes:
+          vertices ``(4*cap_cubes (+cap_quads if training), 3)``, faces
+          ``((2 or 4)*cap_quads, 3)``; ``aux['face_mask']`` marks real
+          faces, ``aux['vertex_mask']`` marks referenced dual vertices,
+          and ``aux['counts']`` carries the true (surf_cubes, quads)
+          occupancies next to their capacities — check
+          ``counts <= capacity`` to validate sizing (overflow truncates).
+
+        Gradients flow through scalar_field / vertices / beta / alpha /
+        gamma_f exactly as in the host path (parity-tested).
+        """
+        caps = dict(self.static_capacities(resolution))
+        if capacities:
+            caps.update(capacities)
+        cap_c, cap_q = int(caps["cubes"]), int(caps["quads"])
+        num_cubes = cube_idx.shape[0]
+        cube_idx = jnp.asarray(cube_idx)
+        sdf = scalar_field
+        dtype = voxelgrid_vertices.dtype
+
+        occ = sdf < 0
+        occ8 = occ[cube_idx]                                   # (C, 8)
+        osum = jnp.sum(occ8, axis=-1)
+        surf = (osum > 0) & (osum < 8)
+        case_full = jnp.sum(
+            occ8 * jnp.asarray(2 ** np.arange(8)), axis=-1)
+        case_full = self._resolve_ambiguities_device(case_full, surf,
+                                                     resolution)
+        n_surf = jnp.sum(surf.astype(jnp.int32))
+
+        sel = jnp.nonzero(surf, size=cap_c, fill_value=num_cubes)[0]
+        cube_ok = sel < num_cubes
+        sel_safe = jnp.where(cube_ok, sel, 0).astype(jnp.int32)
+        rows = cube_idx[sel_safe]                              # (cap_c, 8)
+        case_ids = jnp.where(cube_ok, case_full[sel_safe], 0)
+
+        # normalized weights, gathered at surface cubes (ref :325)
+        if beta is not None:
+            beta_s = jnp.tanh(beta[sel_safe]) * weight_scale + 1
+        else:
+            beta_s = jnp.ones((cap_c, 12), dtype=dtype)
+        if alpha is not None:
+            alpha_s = jnp.tanh(alpha[sel_safe]) * weight_scale + 1
+        else:
+            alpha_s = jnp.ones((cap_c, 8), dtype=dtype)
+        if gamma_f is not None:
+            gamma_s = jax.nn.sigmoid(gamma_f[sel_safe]) * weight_scale \
+                + (1 - weight_scale) / 2
+        else:
+            gamma_s = jnp.ones((cap_c,), dtype=dtype)
+
+        # per-(cube, edge-slot) endpoints. _CUBE_EDGES orients each edge
+        # axis-consistently (x/z edges low→high, y edges high→low), so the
+        # stored pair identifies a geometric edge globally — matching the
+        # host path's np.unique row identity AND its flip test, which reads
+        # the sdf at stored endpoint 0 (NOT the min id).
+        edge_pairs = rows[:, jnp.asarray(_CUBE_EDGES)].reshape(cap_c, 12, 2)
+        ea = edge_pairs[..., 0]
+        eb = edge_pairs[..., 1]
+
+        # uniform dual-vertex layout: vd_id = cube_row * 4 + k
+        num_vd = jnp.asarray(NUM_VD_TABLE)[case_ids]           # (cap_c,)
+        grp = jnp.asarray(DMC_TABLE)[case_ids][:, :4, :]       # (cap_c,4,7)
+        kk = jnp.arange(4)[None, :, None]
+        entry_ok = ((grp != -1) & (kk < num_vd[:, None, None])
+                    & cube_ok[:, None, None])                  # (cap_c,4,7)
+        slot = jnp.where(entry_ok, grp, 0)                     # safe slots
+        crow = jnp.arange(cap_c)[:, None, None]
+        g_flat = (crow * 12 + slot).reshape(-1)                # (G,)
+        e2vd = (crow * 4 + kk + jnp.zeros_like(slot)).reshape(-1)
+        gmask = entry_ok.reshape(-1)
+
+        # per-occurrence slot → vd id map (for quads); invalid entries land
+        # in a sacrificial padding slot that is sliced off
+        total_vd = cap_c * 4
+        vd_of_slot = jnp.zeros((cap_c * 12 + 1,), jnp.int32).at[
+            jnp.where(gmask, g_flat, cap_c * 12)].set(
+            e2vd.astype(jnp.int32))[:cap_c * 12]
+
+        # geometry group entries
+        va = ea.reshape(-1)[g_flat]
+        vb = eb.reshape(-1)[g_flat]
+        x_group = jnp.stack([voxelgrid_vertices[va],
+                             voxelgrid_vertices[vb]], axis=1)   # (G, 2, 3)
+        s_group = jnp.stack([sdf[va], sdf[vb]], axis=1)[..., None]
+        zc_group = self._linear_interp(s_group, x_group)
+        alpha_12x2 = alpha_s[:, jnp.asarray(_CUBE_EDGES)].reshape(cap_c, 24)
+        a_pair = alpha_12x2.reshape(cap_c * 12, 2)[g_flat][..., None]
+        ue_group = self._linear_interp(s_group * a_pair, x_group)
+        beta_group = beta_s.reshape(-1)[g_flat][:, None]
+        beta_group = jnp.where(gmask[:, None], beta_group, 0.0)
+
+        beta_sum = jax.ops.segment_sum(beta_group, e2vd,
+                                       num_segments=total_vd)
+        vd = jax.ops.segment_sum(ue_group * beta_group, e2vd,
+                                 num_segments=total_vd) \
+            / jnp.clip(beta_sum, 1e-12, None)
+        vd_valid = (jax.ops.segment_sum(gmask.astype(jnp.int32), e2vd,
+                                        num_segments=total_vd) > 0)
+        # L_dev (ref :315), masked
+        dist = jnp.linalg.norm(zc_group - vd[e2vd], axis=-1) * gmask
+        vd_cnt = jax.ops.segment_sum(gmask.astype(dist.dtype), e2vd,
+                                     num_segments=total_vd)
+        mean_l2 = jax.ops.segment_sum(dist, e2vd, num_segments=total_vd) \
+            / jnp.clip(vd_cnt, 1.0, None)
+        l_dev = jnp.abs(dist - mean_l2[e2vd]) * gmask
+
+        # ---- quads: group the 4 occurrences of each shared surface edge ----
+        occ_ok = jnp.broadcast_to(cube_ok[:, None], (cap_c, 12)).reshape(-1)
+        big = jnp.iinfo(jnp.int32).max
+        ka = jnp.where(occ_ok, ea.reshape(-1), big)
+        kb = jnp.where(occ_ok, eb.reshape(-1), big)
+        order = jnp.lexsort((jnp.arange(cap_c * 12), kb, ka))
+        sa, sb = ka[order], kb[order]
+        newflag = jnp.concatenate([
+            jnp.ones((1,), bool),
+            (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1])])
+        run_id = jnp.cumsum(newflag) - 1
+        run_len = jax.ops.segment_sum(jnp.ones_like(run_id), run_id,
+                                      num_segments=cap_c * 12)[run_id]
+        # surf edge: exactly one inside endpoint (guard the `big` padding)
+        pa = jnp.clip(sa, 0, occ.shape[0] - 1)
+        pb = jnp.clip(sb, 0, occ.shape[0] - 1)
+        is_surf_edge = (occ[pa].astype(jnp.int32)
+                        + occ[pb].astype(jnp.int32)) == 1
+        quad_start = (newflag & (run_len == 4) & is_surf_edge
+                      & (sa < big))
+        n_quads = jnp.sum(quad_start.astype(jnp.int32))
+        qsel = jnp.nonzero(quad_start, size=cap_q,
+                           fill_value=cap_c * 12 - 4)[0]
+        # nonzero returns real hits first, so validity is positional
+        quad_ok = jnp.arange(cap_q) < jnp.minimum(n_quads, cap_q)
+        qidx = qsel[:, None] + jnp.arange(4)[None, :]          # (cap_q, 4)
+        vd_sorted = vd_of_slot[order]
+        quad_vd = vd_sorted[qidx]                              # (cap_q, 4)
+        # orientation: sdf at the min-id endpoint (host: surf_edges[e, 0])
+        s_first = sdf[pa[qsel]]
+        flip = s_first > 0
+        quad_vd = jnp.where(flip[:, None], quad_vd[:, jnp.asarray([0, 1, 3, 2])],
+                            quad_vd[:, jnp.asarray([2, 3, 1, 0])])
+
+        # gamma split (ref :557)
+        quad_gamma = gamma_s[quad_vd // 4]
+        gamma_02 = quad_gamma[:, 0] * quad_gamma[:, 2]
+        gamma_13 = quad_gamma[:, 1] * quad_gamma[:, 3]
+
+        if not training:
+            msk = gamma_02 > gamma_13
+            f1 = quad_vd[:, jnp.asarray(_QUAD_SPLIT_1)]
+            f2 = quad_vd[:, jnp.asarray(_QUAD_SPLIT_2)]
+            faces = jnp.where(msk[:, None], f1, f2).reshape(-1, 3)
+            vertices = vd
+            face_mask = jnp.repeat(quad_ok, 2)
+        else:
+            vd_quad = vd[quad_vd.reshape(-1)].reshape(-1, 4, 3)
+            vd_02 = (vd_quad[:, 0] + vd_quad[:, 2]) / 2
+            vd_13 = (vd_quad[:, 1] + vd_quad[:, 3]) / 2
+            wsum = gamma_02 + gamma_13 + 1e-8
+            vd_center = (vd_02 * gamma_02[:, None]
+                         + vd_13 * gamma_13[:, None]) / wsum[:, None]
+            center_idx = jnp.arange(cap_q) + total_vd
+            vertices = jnp.concatenate([vd, vd_center])
+            faces = quad_vd[:, jnp.asarray(_QUAD_SPLIT_TRAIN)].reshape(-1, 4, 2)
+            faces = jnp.concatenate(
+                [faces, jnp.broadcast_to(center_idx[:, None, None],
+                                         (cap_q, 4, 1))], axis=-1)
+            faces = faces.reshape(-1, 3)
+            face_mask = jnp.repeat(quad_ok, 4)
+            vd_valid = jnp.concatenate([vd_valid, quad_ok])
+
+        aux = {
+            "face_mask": face_mask,
+            "vertex_mask": vd_valid,
+            "counts": {"surf_cubes": n_surf, "quads": n_quads},
+            "capacities": {"surf_cubes": cap_c, "quads": cap_q},
+        }
+        return vertices, faces, l_dev, aux
+
     def _solve_qef(self, t, voxelgrid_vertices, surf_rows, zero_crossing,
                    normals, qef_reg_scale):
         """Per-dual-vertex QEF solve in masked fixed 7-slot layout
