@@ -86,7 +86,7 @@ def _read_accessor(gltf, buffers, idx):
     return arr
 
 
-def _read_texture(gltf, buffers, root, tex_idx):
+def _read_texture(gltf, buffers, root, tex_idx, with_alpha=False):
     from PIL import Image
     tex = gltf["textures"][tex_idx]
     img = gltf["images"][tex["source"]]
@@ -102,29 +102,91 @@ def _read_texture(gltf, buffers, root, tex_idx):
         buf = buffers[view.get("buffer", 0)]
         off = view.get("byteOffset", 0)
         pil = Image.open(_io.BytesIO(buf[off:off + view["byteLength"]]))
+    if with_alpha:
+        arr = np.asarray(pil.convert("RGBA"), dtype=np.float32) / 255.0
+        rgb = jnp.asarray(np.transpose(arr[..., :3], (2, 0, 1)))
+        alpha = jnp.asarray(arr[..., 3:4].transpose(2, 0, 1))
+        return rgb, alpha
     arr = np.asarray(pil.convert("RGB"), dtype=np.float32) / 255.0
     return jnp.asarray(np.transpose(arr, (2, 0, 1)))
+
+
+def _specular_glossiness_to_pbr(gltf, buffers, root, ext, kwargs):
+    """KHR_materials_pbrSpecularGlossiness → specular-workflow PBRMaterial
+    fields (ref gltf.py:134-156): diffuse from diffuseFactor/Texture,
+    specular RGB from the specularGlossiness texture, roughness = 1 −
+    glossiness (alpha channel x glossinessFactor)."""
+    kwargs["is_specular_workflow"] = True
+    diffuse_factor = ext.get("diffuseFactor", [1.0, 1.0, 1.0, 1.0])
+    if "diffuseTexture" in ext:
+        tex = _read_texture(gltf, buffers, root,
+                            ext["diffuseTexture"]["index"])
+        kwargs["diffuse_texture"] = tex * jnp.asarray(
+            diffuse_factor[:3], tex.dtype).reshape(3, 1, 1)
+        kwargs["diffuse_colorspace"] = "srgb"
+    else:
+        kwargs["diffuse_color"] = np.asarray(diffuse_factor[:3])
+    spec_factor = ext.get("specularFactor", [1.0, 1.0, 1.0])
+    gloss_factor = float(ext.get("glossinessFactor", 1.0))
+    if "specularGlossinessTexture" in ext:
+        spec, gloss = _read_texture(
+            gltf, buffers, root, ext["specularGlossinessTexture"]["index"],
+            with_alpha=True)
+        kwargs["specular_texture"] = spec * jnp.asarray(
+            spec_factor, spec.dtype).reshape(3, 1, 1)
+        kwargs["roughness_texture"] = 1.0 - gloss * gloss_factor
+    else:
+        kwargs["specular_color"] = np.asarray(spec_factor)
+        kwargs["roughness_value"] = 1.0 - gloss_factor
 
 
 def _material_to_pbr(gltf, buffers, root, mat):
     from kaolin_tpu.render.materials import PBRMaterial
     kwargs = {"material_name": mat.get("name", "")}
+    extensions = mat.get("extensions", {})
+    # the Khronos specular-glossiness extension takes priority when a
+    # material carries both workflows (ref gltf.py:233-240)
+    if "KHR_materials_pbrSpecularGlossiness" in extensions:
+        _specular_glossiness_to_pbr(
+            gltf, buffers, root,
+            extensions["KHR_materials_pbrSpecularGlossiness"], kwargs)
+        if "normalTexture" in mat:
+            kwargs["normals_texture"] = _read_texture(
+                gltf, buffers, root, mat["normalTexture"]["index"])
+        return PBRMaterial(**kwargs)
+
     pmr = mat.get("pbrMetallicRoughness", {})
-    if "baseColorFactor" in pmr:
-        kwargs["diffuse_color"] = np.asarray(pmr["baseColorFactor"][:3])
     if "baseColorTexture" in pmr:
-        kwargs["diffuse_texture"] = _read_texture(
-            gltf, buffers, root, pmr["baseColorTexture"]["index"])
+        tex = _read_texture(gltf, buffers, root,
+                            pmr["baseColorTexture"]["index"])
+        factor = pmr.get("baseColorFactor", [1.0] * 4)[:3]
+        kwargs["diffuse_texture"] = tex * jnp.asarray(
+            factor, tex.dtype).reshape(3, 1, 1)
         kwargs["diffuse_colorspace"] = "srgb"
-    if "metallicFactor" in pmr:
-        kwargs["metallic_value"] = float(pmr["metallicFactor"])
-    if "roughnessFactor" in pmr:
-        kwargs["roughness_value"] = float(pmr["roughnessFactor"])
+    elif "baseColorFactor" in pmr:
+        kwargs["diffuse_color"] = np.asarray(pmr["baseColorFactor"][:3])
     if "metallicRoughnessTexture" in pmr:
         mr = _read_texture(gltf, buffers, root,
                            pmr["metallicRoughnessTexture"]["index"])
-        kwargs["roughness_texture"] = mr[1:2]
-        kwargs["metallic_texture"] = mr[2:3]
+        kwargs["roughness_texture"] = mr[1:2] * float(
+            pmr.get("roughnessFactor", 1.0))
+        kwargs["metallic_texture"] = mr[2:3] * float(
+            pmr.get("metallicFactor", 1.0))
+    else:
+        if "metallicFactor" in pmr:
+            kwargs["metallic_value"] = float(pmr["metallicFactor"])
+        if "roughnessFactor" in pmr:
+            kwargs["roughness_value"] = float(pmr["roughnessFactor"])
+    # KHR_materials_transmission (ref gltf.py:198-214)
+    if "KHR_materials_transmission" in extensions:
+        ext = extensions["KHR_materials_transmission"]
+        factor = float(ext.get("transmissionFactor", 0.0))
+        if "transmissionTexture" in ext:
+            tex = _read_texture(gltf, buffers, root,
+                                ext["transmissionTexture"]["index"])
+            kwargs["transmittance_texture"] = tex[0:1] * factor
+        else:
+            kwargs["transmittance_value"] = factor
     if "normalTexture" in mat:
         kwargs["normals_texture"] = _read_texture(
             gltf, buffers, root, mat["normalTexture"]["index"])

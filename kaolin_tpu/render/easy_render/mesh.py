@@ -272,6 +272,7 @@ def render_mesh(camera, mesh, lighting=None, custom_materials=None,
         RenderPass.render.name: img,
         RenderPass.albedo.name: albedo,
         RenderPass.normals.name: im_world_normals,
+        RenderPass.roughness.name: im_roughness,
         RenderPass.diffuse.name: diffuse_img,
         RenderPass.specular.name: specular_img,
         RenderPass.uvs.name: uv_map,

@@ -48,8 +48,8 @@ def test_render_passes_present():
                        triangulate=True, raw_materials=False)
     mesh.vertices = center_points(mesh.vertices[None], normalize=True)[0]
     res = easy_render.render_mesh(camera, mesh)
-    for name in ("render", "albedo", "normals", "diffuse", "specular",
-                 "face_idx", "alpha"):
+    for name in ("render", "albedo", "normals", "roughness", "diffuse",
+                 "specular", "face_idx", "alpha"):
         assert name in res, name
     assert res["render"].shape == (1, 64, 64, 3)
 
