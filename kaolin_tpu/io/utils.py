@@ -82,19 +82,21 @@ def mesh_handler_naive_triangulate(vertices, face_vertex_counts, *features,
     outs = [np.asarray(vertices), new_counts]
     outs.extend(np.asarray(nf) for nf in new_features)
     if face_assignments is not None:
+        # reference semantics (io/utils.py:62 + tests/io/test_utils.py:76-92):
+        # 1D tensors are face-id LISTS (each id expands to its triangles);
+        # 2D (N, 2) tensors are per-row (start, end) ranges remapped to the
+        # new face indexing
         new_assign = {}
         for k, v in face_assignments.items():
             v = np.asarray(v)
-            if v.ndim == 1 and v.shape[0] == 2:  # (start, end) ranges
-                new_assign[k] = np.array([old_to_new_start[v[0]],
-                                          old_to_new_start[v[1]]])
+            if v.ndim == 2:
+                new_assign[k] = old_to_new_start[v]
             else:
-                # list of face ids
                 ids = []
                 for fid in v:
                     ids.extend(range(old_to_new_start[fid],
                                      old_to_new_start[fid + 1]))
-                new_assign[k] = np.asarray(ids)
+                new_assign[k] = np.asarray(ids, dtype=np.int64)
         outs.append(new_assign)
     return tuple(outs)
 

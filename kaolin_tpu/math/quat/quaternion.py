@@ -55,6 +55,21 @@ def quat_unit_positive(quat):
     return quat_unit(quat_positive(quat))
 
 
+def _doctest_anchor_identity():
+    """
+    Example:
+        >>> import jax.numpy as jnp
+        >>> print(quat_identity((2,)))
+        [[0. 0. 0. 1.]
+         [0. 0. 0. 1.]]
+        >>> q = jnp.asarray([[0.0, 0.0, 0.0, 1.0]])
+        >>> print(quat_mul(q, q))
+        [[0. 0. 0. 1.]]
+        >>> print(quat_conjugate(jnp.asarray([[1.0, 2.0, 3.0, 4.0]])))
+        [[-1. -2. -3.  4.]]
+    """
+
+
 def quat_identity(shape, dtype=jnp.float32):
     """Identity quaternion(s) of shape (*shape, 4). Ref :123."""
     if isinstance(shape, int):

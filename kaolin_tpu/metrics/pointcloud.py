@@ -78,6 +78,22 @@ def sided_distance(p1, p2):
     return dist, idx
 
 
+def _doctest_anchor():
+    """
+    Example:
+        >>> import jax.numpy as jnp
+        >>> p1 = jnp.asarray([[[0.0, 0.0, 0.0], [1.0, 0.0, 0.0]]])
+        >>> p2 = jnp.asarray([[[0.0, 0.0, 1.0]]])
+        >>> print(chamfer_distance(p1, p2))
+        [2.5]
+        >>> dist, idx = sided_distance(p1, p2)
+        >>> print(dist)
+        [[1. 2.]]
+        >>> print(idx)
+        [[0 0]]
+    """
+
+
 def chamfer_distance(p1, p2, w1=1.0, w2=1.0, squared=True):
     """Symmetric chamfer distance between batched point clouds (B, N, 3) /
     (B, M, 3) → (B,). Ref :89."""

@@ -52,7 +52,12 @@ def get_shape_per_tensor(tensor_list):
 
 def get_first_idx(numel_per_tensor):
     """Exclusive cumsum with leading 0: start offset of each subtensor plus
-    total at the end — shape (B + 1,). Ref :120."""
+    total at the end — shape (B + 1,). Ref :120.
+
+    Example:
+        >>> get_first_idx([2, 3, 1]).tolist()
+        [0, 2, 5, 6]
+    """
     numel = np.asarray(numel_per_tensor, dtype=np.int64)
     out = np.zeros(numel.shape[0] + 1, dtype=np.int64)
     np.cumsum(numel, out=out[1:])
@@ -63,6 +68,18 @@ def list_to_packed(tensor_list):
     """Concatenate a list of (..., last_dim) arrays into a packed 2D array.
 
     Returns (packed_tensor, shape_per_tensor). Ref :72.
+
+    Example:
+        >>> import jax.numpy as jnp
+        >>> a = jnp.asarray([[0., 1.], [2., 3.]])
+        >>> b = jnp.asarray([[4., 5.]])
+        >>> packed, spt = list_to_packed([a, b])
+        >>> print(packed)
+        [[0. 1.]
+         [2. 3.]
+         [4. 5.]]
+        >>> spt.tolist()
+        [[2], [1]]
     """
     shape_per_tensor = get_shape_per_tensor(tensor_list)
     last_dim = tensor_list[0].shape[-1]
@@ -103,7 +120,16 @@ def fill_max_shape(shape_per_tensor, partial_max_shape=None):
 
 
 def list_to_padded(tensor_list, padding_value, max_shape=None):
-    """Stack a list into a dense padded batch (B, *max_shape, last_dim). Ref :254."""
+    """Stack a list into a dense padded batch (B, *max_shape, last_dim). Ref :254.
+
+    Example:
+        >>> import jax.numpy as jnp
+        >>> padded, spt = list_to_padded([jnp.ones((2, 2)), jnp.ones((1, 2))],
+        ...                              padding_value=-1.0)
+        >>> print(padded[1])
+        [[ 1.  1.]
+         [-1. -1.]]
+    """
     shape_per_tensor = get_shape_per_tensor(tensor_list)
     max_shape = fill_max_shape(shape_per_tensor, max_shape)
     last_dim = tensor_list[0].shape[-1]

@@ -36,6 +36,18 @@ def _base_face_areas(v0, v1, v2):
     return 0.5 * jnp.linalg.norm(jnp.cross(v1 - v0, v2 - v0), axis=-1)
 
 
+def _doctest_anchor():
+    """
+    Example:
+        >>> import jax.numpy as jnp
+        >>> v = jnp.asarray([[[0.0, 0.0, 0.0], [1.0, 0.0, 0.0],
+        ...                   [0.0, 1.0, 0.0]]])
+        >>> f = jnp.asarray([[0, 1, 2]])
+        >>> print(face_areas(v, f))
+        [[0.5]]
+    """
+
+
 def face_areas(vertices, faces):
     """Areas of each face. (B, V, 3) x (F, 3) → (B, F). Ref :98."""
     faces = jnp.asarray(faces)

@@ -69,6 +69,21 @@ def points_to_morton(points):
     return jnp.asarray(m.reshape(shape))
 
 
+def _doctest_anchor():
+    """
+    Example:
+        >>> import jax.numpy as jnp
+        >>> pts = jnp.asarray([[0, 0, 0], [1, 1, 1], [2, 0, 3]], jnp.int16)
+        >>> m = points_to_morton(pts)
+        >>> print(m)
+        [ 0  7 41]
+        >>> print(morton_to_points(m))
+        [[0 0 0]
+         [1 1 1]
+         [2 0 3]]
+    """
+
+
 def morton_to_points(morton):
     """(N,) morton codes → (N, 3) int16 coords. Ref :107."""
     m = np.asarray(morton).astype(np.int64)

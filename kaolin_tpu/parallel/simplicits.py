@@ -21,7 +21,101 @@ from jax import shard_map
 from kaolin_tpu.physics.simplicits.losses import loss_elastic, loss_ortho
 from kaolin_tpu.physics.simplicits.network import mlp_apply
 
-__all__ = ["sharded_mlp_train_step", "sharded_scene_batch_step"]
+__all__ = ["sharded_mlp_train_step", "sharded_scene_batch_step",
+           "pad_skinned_physics_points", "bucket_pad_targets"]
+
+
+def bucket_pad_targets(sizes):
+    """Smallest (num_qp, num_handles) bucket targets for a list of
+    ``(num_qp, num_handles)`` scene sizes, honoring the 4-phantom-points-
+    per-phantom-handle rank requirement of
+    :func:`pad_skinned_physics_points`."""
+    h_max = max(h for _, h in sizes)
+    qp_max = max(nq + 4 * (h_max - nh) for nq, nh in sizes)
+    return qp_max, h_max
+
+
+def pad_skinned_physics_points(baked, num_qp, num_handles=None,
+                               phantom_origin=(0.0, 1.0e5, 0.0),
+                               phantom_spacing=10.0):
+    """Pad a :class:`SkinnedPhysicsPoints` to ``num_qp`` quadrature points
+    and ``num_handles`` handles so DIFFERENT-SIZED scenes share one
+    functional-step pytree and can be stacked/sharded together
+    (:func:`stack_scenes`). The padding is physics-exact:
+
+    * phantom points carry ZERO volume and mass (``num_real_qp`` marks the
+      real prefix), so every volume/mass-weighted energy ignores them; they
+      are placed in a lattice at ``phantom_origin`` — far above any floor
+      and outside every collision radius — and are self-collision-immune
+      (one cluster per object, within the immunity radius of itself);
+    * phantom handles get support ONLY on phantom points (4+ non-coplanar
+      points each keep the LBS operator full column rank, so the QR
+      conditioning basis stays invertible); their B/dFdz columns are zero at
+      every real point, their BMB rows/columns are zero (massless support),
+      and their gradient is identically zero, so Newton leaves their DOFs at
+      exactly 0 (the Hessian regularizer keeps the system SPD — keep
+      ``newton_hessian_regularizer > 0``, the default, in padded scenes);
+    * the constant handle stays LAST (phantom handle columns are inserted
+      just before it), preserving ``init_transform`` semantics.
+
+    Returns a new ``SkinnedPhysicsPoints``; trajectories of the real DOFs
+    are bit-comparable to the unpadded scene (see
+    ``tests/parallel/test_heterogeneous_batch.py``).
+    """
+    from kaolin_tpu.physics.simplicits import SkinnedPhysicsPoints
+
+    n, h = baked.pts.shape[0], baked.num_handles
+    if num_handles is None:
+        num_handles = h
+    if num_qp < n or num_handles < h:
+        raise ValueError(f"pad target ({num_qp} qp, {num_handles} handles) "
+                         f"smaller than input ({n} qp, {h} handles)")
+    h_pad = num_handles - h
+    q_pad = num_qp - n
+    if h_pad > 0 and q_pad < 4 * h_pad:
+        raise ValueError(
+            f"padding {h_pad} handles needs >= {4 * h_pad} phantom points "
+            f"to keep the LBS operator full rank; got {q_pad} — raise the "
+            f"qp target")
+    if q_pad == 0 and h_pad == 0:
+        return baked
+
+    dtype = np.asarray(baked.pts).dtype
+    # non-coplanar 4-point tetra pattern, tiled into a spaced lattice
+    tetra = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], dtype)
+    reps = -(-q_pad // 4)
+    offsets = (np.arange(reps, dtype=dtype)[:, None]
+               * np.asarray([phantom_spacing, 0, 0], dtype))
+    lattice = (tetra[None] + offsets[:, None]).reshape(-1, 3)[:q_pad]
+    ppts = np.asarray(phantom_origin, dtype) + lattice
+
+    pw = np.zeros((q_pad, num_handles), dtype)
+    pdw = np.zeros((q_pad, num_handles, 3), dtype)
+    for k in range(h_pad):
+        pw[4 * k:4 * k + 4, h - 1 + k] = 1.0  # before the constant handle
+
+    w = np.asarray(baked.skinning_weights)
+    dw = np.asarray(baked.dwdx)
+    w_pad = np.concatenate(
+        [w[:, :h - 1], np.zeros((n, h_pad), dtype), w[:, h - 1:]], axis=1)
+    dw_pad = np.concatenate(
+        [dw[:, :h - 1], np.zeros((n, h_pad, 3), dtype), dw[:, h - 1:]],
+        axis=1)
+
+    return SkinnedPhysicsPoints(
+        pts=np.concatenate([np.asarray(baked.pts), ppts]),
+        yms=np.concatenate([np.asarray(baked.yms),
+                            np.full(q_pad, np.asarray(baked.yms)[0], dtype)]),
+        prs=np.concatenate([np.asarray(baked.prs),
+                            np.full(q_pad, np.asarray(baked.prs)[0], dtype)]),
+        rhos=np.concatenate([np.asarray(baked.rhos),
+                             np.full(q_pad, np.asarray(baked.rhos)[0],
+                                     dtype)]),
+        appx_vol=baked.appx_vol,
+        skinning_weights=np.concatenate([w_pad, pw]),
+        dwdx=np.concatenate([dw_pad, pdw]),
+        renderable=baked.renderable,
+        num_real_qp=n)
 
 
 def sharded_mlp_train_step(mesh, params, pts, yms, prs, rhos, appx_vol, key,
@@ -120,6 +214,15 @@ def stack_scenes(scenes):
     """
     pairs = [s.build_functional_step() for s in scenes]
     step = pairs[0][0]
+    flat = [jax.tree_util.tree_flatten(c) for _, c in pairs]
+    sigs = [(tuple(jnp.shape(x) for x in leaves), treedef)
+            for leaves, treedef in flat]
+    if any(s != sigs[0] for s in sigs[1:]):
+        raise ValueError(
+            "scenes have different operator shapes (different qp/handle "
+            "counts) — pad each object to the bucket maxima with "
+            "kaolin_tpu.parallel.simplicits.pad_skinned_physics_points "
+            "before add_object, then stack")
     consts = jax.tree_util.tree_map(
         lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
         *[c for _, c in pairs])

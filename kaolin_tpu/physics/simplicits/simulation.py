@@ -49,7 +49,8 @@ class SimulatedObject(SkinnedPhysicsPoints):
 
     def __init__(self, pts, yms, prs, rhos, appx_vol, skinning_weights, dwdx,
                  renderable=None, init_transform=None, is_kinematic=False,
-                 normalize_weights_by_samples=False, apply_qr=False):
+                 normalize_weights_by_samples=False, apply_qr=False,
+                 num_real_qp=None):
         handle_norms = None
         if normalize_weights_by_samples:
             handle_norms = jnp.clip(
@@ -57,7 +58,7 @@ class SimulatedObject(SkinnedPhysicsPoints):
             skinning_weights = skinning_weights / handle_norms[None, :]
             dwdx = dwdx / handle_norms.reshape(1, -1, 1)
         super().__init__(pts, yms, prs, rhos, appx_vol, skinning_weights, dwdx,
-                         renderable=renderable)
+                         renderable=renderable, num_real_qp=num_real_qp)
         self.handle_norms = handle_norms
         self.init_transform = init_transform
         self.is_kinematic = is_kinematic
@@ -66,10 +67,16 @@ class SimulatedObject(SkinnedPhysicsPoints):
 
         self.num_qp = self.pts.shape[0]
         self.num_cp = self.pts.shape[0]
-        self.sample_vols = jnp.full((self.num_qp,),
-                                    self.appx_vol / self.num_qp,
-                                    dtype=self.dtype)
-        self.sample_masses = (self.appx_vol / self.num_qp) * self.rhos
+        # phantom padding points (heterogeneous scene batching) carry zero
+        # volume and mass: the quadrature rule integrates over the REAL
+        # sample count only, so padding leaves the physics bit-identical
+        n_real = self.num_qp if num_real_qp is None else int(num_real_qp)
+        is_real = jnp.arange(self.num_qp) < n_real
+        self.sample_vols = jnp.where(is_real, self.appx_vol / n_real, 0.0
+                                     ).astype(self.dtype)
+        self.sample_masses = jnp.where(is_real,
+                                       (self.appx_vol / n_real) * self.rhos,
+                                       0.0).astype(self.dtype)
 
         self.B_dense = lbs_matrix(self.pts, self.skinning_weights)
         if is_kinematic:
@@ -116,7 +123,8 @@ class SimulatedObject(SkinnedPhysicsPoints):
                    dwdx=phys_pts.dwdx, renderable=phys_pts.renderable,
                    init_transform=init_transform, is_kinematic=is_kinematic,
                    normalize_weights_by_samples=normalize_weights_by_samples,
-                   apply_qr=apply_qr)
+                   apply_qr=apply_qr,
+                   num_real_qp=getattr(phys_pts, "num_real_qp", None))
 
     def reset_sim_state(self):
         """Reset handle transforms to the initial deformation. The constant

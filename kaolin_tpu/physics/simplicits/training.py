@@ -99,11 +99,15 @@ class SkinnedPhysicsPoints(PhysicsPoints):
     Ref :313."""
 
     def __init__(self, pts, yms, prs, rhos, appx_vol, skinning_weights, dwdx,
-                 renderable: SkinnedPoints = None):
+                 renderable: SkinnedPoints = None, num_real_qp=None):
         super().__init__(pts, yms, prs, rhos, appx_vol)
         self.skinning_weights = jnp.asarray(skinning_weights)
         self.dwdx = jnp.asarray(dwdx)
         self.renderable = renderable
+        # heterogeneous-batch padding support: points beyond num_real_qp are
+        # phantoms carrying zero volume/mass (kaolin_tpu.parallel.simplicits.
+        # pad_skinned_physics_points); None → all points real
+        self.num_real_qp = num_real_qp
 
     @property
     def num_handles(self):

@@ -219,7 +219,12 @@ def sg_shade(camera, face_idx, albedo, spec_albedo, im_roughness,
                                        normals, alb)
     pixel_grid = generate_centered_custom_resolution_pixel_coords(
         camera.width, camera.height, width, height)
-    _, rays_d = generate_pinhole_rays(camera, pixel_grid)
+    # dispatch on lens type (the reference hardcodes pinhole rays and cannot
+    # easy-render ortho cameras; ortho view rays are the camera forward axis)
+    if camera.lens_type == "pinhole":
+        _, rays_d = generate_pinhole_rays(camera, pixel_grid)
+    else:
+        _, rays_d = camera.generate_rays(pixel_grid)
     specular = sg_warp_specular_term(
         amplitude, direction, sharpness, normals, rough,
         -rays_d.reshape(-1, 3), spec)

@@ -229,7 +229,20 @@ def raytrace_overflow_report(octree, point_hierarchy, pyramid, exsum, origin,
 # ---------------------------------------------------------------------------
 
 def mark_pack_boundaries(pack_ids):
-    """True where a new pack starts in a sorted id tensor. Ref :94."""
+    """True where a new pack starts in a sorted id tensor. Ref :94.
+
+    Example:
+        >>> import jax.numpy as jnp
+        >>> b = mark_pack_boundaries(jnp.asarray([0, 0, 1, 1, 1]))
+        >>> print(b)
+        [ True False  True False False]
+        >>> feats = jnp.asarray([[1.0], [2.0], [3.0], [4.0], [5.0]])
+        >>> print(sum_reduce(feats, b))
+        [[ 3.]
+         [12.]]
+        >>> print(cumsum(feats, b)[:, 0])
+        [ 1.  3.  3.  7. 12.]
+    """
     first = jnp.ones((1,), dtype=bool)
     return jnp.concatenate([first, pack_ids[1:] != pack_ids[:-1]])
 
