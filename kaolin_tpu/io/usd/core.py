@@ -219,23 +219,37 @@ def _parse_usda(file_path):
     {"type", "name", "path", "parent", "body"} (body excludes nested
     prims).
 
-    Only the text USDA format is supported (this suite is dependency-free
-    by design — the reference calls pxr/usd-core). Binary .usdc / zipped
-    .usdz files are detected by magic and rejected with a clear error."""
+    Binary .usdc files (and .usdz packages, which are uncompressed zips of
+    usdc + assets) are read through the dependency-free Crate reader
+    (:mod:`kaolin_tpu.io.usd.crate`) and transpiled to USDA text, so every
+    import path below handles all three containers."""
     with open(file_path, "rb") as f:
         head = f.read(8)
     if head.startswith(b"PXR-USDC"):
-        raise ValueError(
-            f"{file_path} is a binary USD (usdc) file; only text USDA is "
-            "supported. Convert with `usdcat in.usd -o out.usda` "
-            "(usd-core package) and retry.")
-    if head.startswith(b"PK\x03\x04"):
-        raise ValueError(
-            f"{file_path} is a zipped USDZ package; only text USDA is "
-            "supported. Unzip it and convert the inner .usdc with "
-            "`usdcat in.usd -o out.usda` (usd-core package) and retry.")
-    with open(file_path) as f:
-        src = f.read()
+        from kaolin_tpu.io.usd.crate import crate_to_usda
+        src = crate_to_usda(file_path)
+    elif head.startswith(b"PK\x03\x04"):
+        import io as _io
+        import zipfile
+
+        from kaolin_tpu.io.usd.crate import crate_to_usda, is_crate
+        with zipfile.ZipFile(file_path) as z:
+            names = [n for n in z.namelist()
+                     if n.lower().endswith((".usd", ".usdc", ".usda"))]
+            if not names:
+                raise ValueError(f"{file_path}: USDZ with no usd layer")
+            data = z.read(names[0])
+        if is_crate(data[:8]):
+            import tempfile
+            with tempfile.NamedTemporaryFile(suffix=".usdc") as tmp:
+                tmp.write(data)
+                tmp.flush()
+                src = crate_to_usda(tmp.name)
+        else:
+            src = data.decode("utf-8")
+    else:
+        with open(file_path) as f:
+            src = f.read()
 
     prims = []
 

@@ -17,7 +17,7 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 __all__ = ["is_available", "check_sign_cpu", "points_to_octree",
-           "points_to_sorted_morton"]
+           "points_to_sorted_morton", "lz4_decompress_block"]
 
 _LIB = None
 _TRIED = False
@@ -56,6 +56,10 @@ def _load():
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint64)]
     lib.points_to_sorted_morton.restype = ctypes.c_int64
+    lib.lz4_decompress_block.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+    lib.lz4_decompress_block.restype = ctypes.c_int64
     _LIB = lib
     return _LIB
 
@@ -111,3 +115,56 @@ def points_to_sorted_morton(points):
                                     points.shape[0],
                                     _ptr(out, ctypes.c_uint64))
     return out[:n].copy()
+
+
+def lz4_decompress_block(data, decompressed_size):
+    """LZ4 block decode → numpy uint8 of ``decompressed_size``. Falls back
+    to a pure-Python decoder when the native library is unavailable."""
+    data = np.frombuffer(bytes(data), dtype=np.uint8)
+    lib = _load()
+    if lib is not None:
+        out = np.zeros((int(decompressed_size),), dtype=np.uint8)
+        n = lib.lz4_decompress_block(_ptr(data, ctypes.c_uint8),
+                                     data.shape[0],
+                                     _ptr(out, ctypes.c_uint8), out.shape[0])
+        if n < 0:
+            raise ValueError("malformed LZ4 block")
+        return out[:n]
+    return _lz4_decompress_py(bytes(data), int(decompressed_size))
+
+
+def _lz4_decompress_py(src, dst_cap):
+    """Pure-Python LZ4 block decoder (slow path)."""
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        token = src[i]; i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = src[i]; i += 1
+                lit += b
+                if b != 255:
+                    break
+        out += src[i:i + lit]
+        i += lit
+        if i >= n:
+            break
+        offset = src[i] | (src[i + 1] << 8)
+        i += 2
+        mlen = (token & 0xF)
+        if mlen == 15:
+            while True:
+                b = src[i]; i += 1
+                mlen += b
+                if b != 255:
+                    break
+        mlen += 4
+        start = len(out) - offset
+        if offset == 0 or start < 0:
+            raise ValueError("malformed LZ4 block")
+        for k in range(mlen):
+            out.append(out[start + k])
+    if len(out) > dst_cap:
+        raise ValueError("LZ4 output exceeds expected size")
+    return np.frombuffer(bytes(out), dtype=np.uint8)

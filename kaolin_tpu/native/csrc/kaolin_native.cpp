@@ -191,4 +191,59 @@ int64_t points_to_sorted_morton(const int32_t* points, int64_t num_points,
   return n;
 }
 
+// ---------------------------------------------------------------------------
+// LZ4 block decompression (USD Crate reader; TfFastCompression payloads).
+// Implements the public LZ4 block format: token byte (hi nibble literal
+// length, lo nibble match length - 4), optional length continuation bytes,
+// literals, 2-byte little-endian match offset, overlapping match copy.
+// ---------------------------------------------------------------------------
+
+// Returns bytes written to dst, or -1 on malformed/overflow.
+int64_t lz4_decompress_block(const uint8_t* src, int64_t src_size,
+                             uint8_t* dst, int64_t dst_cap) {
+  const uint8_t* ip = src;
+  const uint8_t* const iend = src + src_size;
+  uint8_t* op = dst;
+  uint8_t* const oend = dst + dst_cap;
+  while (ip < iend) {
+    const uint8_t token = *ip++;
+    // literals
+    int64_t lit = token >> 4;
+    if (lit == 15) {
+      uint8_t b;
+      do {
+        if (ip >= iend) return -1;
+        b = *ip++;
+        lit += b;
+      } while (b == 255);
+    }
+    if (ip + lit > iend || op + lit > oend) return -1;
+    std::memcpy(op, ip, static_cast<size_t>(lit));
+    ip += lit;
+    op += lit;
+    if (ip >= iend) break;  // last sequence has no match
+    // match
+    if (ip + 2 > iend) return -1;
+    const int64_t offset = ip[0] | (ip[1] << 8);
+    ip += 2;
+    if (offset == 0 || op - dst < offset) return -1;
+    int64_t mlen = (token & 0xF);
+    if (mlen == 15) {
+      uint8_t b;
+      do {
+        if (ip >= iend) return -1;
+        b = *ip++;
+        mlen += b;
+      } while (b == 255);
+    }
+    mlen += 4;
+    if (op + mlen > oend) return -1;
+    const uint8_t* match = op - offset;
+    // byte-wise copy: offsets < length overlap by design
+    for (int64_t i = 0; i < mlen; ++i) op[i] = match[i];
+    op += mlen;
+  }
+  return static_cast<int64_t>(op - dst);
+}
+
 }  // extern "C"

@@ -239,17 +239,17 @@ def test_cached_dataset_parallel_fallback_serial(tmp_path):
     np.testing.assert_allclose(np.asarray(ds[1]), 2.0)
 
 
-def test_usd_binary_rejected_with_clear_error(tmp_path):
-    """Binary usdc / zipped usdz inputs produce a crisp unsupported-format
-    error instead of an obscure parse failure (text USDA only by design)."""
+def test_usd_malformed_binary_raises(tmp_path):
+    """Truncated/garbage binary containers still fail with a clear error
+    (real .usdc/.usdz files are read via the Crate reader, test_usd_crate)."""
     import pytest
     usdc = tmp_path / "model.usdc"
     usdc.write_bytes(b"PXR-USDC" + b"\x00" * 64)
-    with pytest.raises(ValueError, match="binary USD"):
+    with pytest.raises(Exception):
         kio.usd.import_meshes(str(usdc))
     usdz = tmp_path / "model.usdz"
     usdz.write_bytes(b"PK\x03\x04" + b"\x00" * 64)
-    with pytest.raises(ValueError, match="USDZ"):
+    with pytest.raises(Exception):
         kio.usd.import_meshes(str(usdz))
 
 

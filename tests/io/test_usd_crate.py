@@ -1,0 +1,78 @@
+"""USD Crate (.usdc) and USDZ reading via the dependency-free Crate reader
+(kaolin_tpu/io/usd/crate.py; format per pxr crateFile.cpp, versions 0.7/0.8).
+
+Parity targets: the reference's own sample assets, which ship both binary
+and obj/text twins (ref tests/python/kaolin/io/usd/test_mesh.py:840-851
+expected mesh counts: fox 1, armchair 3, amsterdam 18)."""
+
+import numpy as np
+import pytest
+
+from kaolin_tpu.io import usd as kusd
+from kaolin_tpu.io.obj import import_mesh as obj_import
+
+IO = "/root/reference/tests/samples/io"
+SAMPLES = "/root/reference/tests/samples"
+
+
+def test_fox_usdc_matches_obj_twin():
+    """fox.usdc geometry must be bit-identical to fox.obj (the reference
+    ships both conversions of the same asset)."""
+    m_usd = kusd.import_meshes(f"{IO}/fox.usdc")
+    assert len(m_usd) == 1
+    m_usd = m_usd[0]
+    m_obj = obj_import(f"{IO}/fox.obj")
+    np.testing.assert_array_equal(np.asarray(m_usd.vertices),
+                                  np.asarray(m_obj.vertices))
+    np.testing.assert_array_equal(np.asarray(m_usd.faces),
+                                  np.asarray(m_obj.faces))
+    assert m_usd.uvs is not None and m_usd.face_uvs_idx is not None
+
+
+def test_mixed_usdc_heterogeneous_triangulation():
+    """mixed.usdc (crate 0.8) holds a quad+tri rocket and a quad sphere;
+    import triangulates per the heterogeneous handler."""
+    meshes = kusd.import_meshes(f"{SAMPLES}/mixed.usdc")
+    assert len(meshes) == 2
+    for m in meshes:
+        f = np.asarray(m.faces)
+        assert f.shape[1] == 3
+        assert np.asarray(m.vertices).shape[0] > 100
+
+
+@pytest.mark.parametrize("fname,count", [
+    ("armchair.usdc", 3), ("fox.usdc", 1),
+    ("amsterdam.usdz", 18), ("fox.usdz", 1), ("ico_flat.usdz", 1),
+])
+def test_mesh_counts_match_reference(fname, count):
+    meshes = kusd.import_meshes(f"{IO}/{fname}")
+    assert len(meshes) == count, fname
+    for m in meshes:
+        v = np.asarray(m.vertices)
+        assert v.ndim == 2 and v.shape[1] == 3 and np.isfinite(v).all()
+
+
+def test_usdz_matches_usdc():
+    """The usdz container wraps the same usdc layer — identical geometry."""
+    a = kusd.import_meshes(f"{IO}/fox.usdc")[0]
+    b = kusd.import_meshes(f"{IO}/fox.usdz")[0]
+    np.testing.assert_array_equal(np.asarray(a.vertices),
+                                  np.asarray(b.vertices))
+    np.testing.assert_array_equal(np.asarray(a.faces), np.asarray(b.faces))
+
+
+def test_crate_scene_paths_and_pointcloud_api():
+    paths = kusd.get_mesh_scene_paths(f"{IO}/armchair.usdc")
+    assert len(paths) == 3
+    assert all(p.startswith("/") for p in paths)
+
+
+def test_crate_version_and_sections():
+    from kaolin_tpu.io.usd.crate import CrateFile
+    c = CrateFile(f"{SAMPLES}/mixed.usdc")
+    assert c.version[:2] in ((0, 7), (0, 8))
+    for sec in ("TOKENS", "STRINGS", "FIELDS", "FIELDSETS", "PATHS",
+                "SPECS"):
+        assert sec in c.sections
+    assert len(c.tokens) > 10
+    assert "/" in c.paths
