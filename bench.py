@@ -466,7 +466,15 @@ def main():
     ratios = []
     extras = {}
     for name in selected:
-        out = runners[name]()
+        try:
+            out = runners[name]()
+        except Exception as e:  # record and keep measuring the rest
+            import traceback
+            traceback.print_exc()
+            extras[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+            ratios.append(1e-3)  # a failed config counts hard against us
+            components[name] = 0.0
+            continue
         if isinstance(out, tuple):
             out, meta = out
             extras[name] = meta

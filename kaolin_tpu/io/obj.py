@@ -11,9 +11,14 @@ import warnings
 import jax.numpy as jnp
 import numpy as np
 
-from kaolin_tpu.io.utils import (
+from kaolin_tpu.io.utils import (  # noqa: F401 — handler re-exports (ref io/obj.py)
     NonHomogeneousMeshError,
+    create_missing_materials_error_handler,
+    default_error_handler,
+    heterogeneous_mesh_handler_skip,
+    ignore_error_handler,
     mesh_handler_naive_triangulate,
+    skip_error_handler,
 )
 from kaolin_tpu.rep.surface_mesh import SurfaceMesh
 

@@ -651,8 +651,14 @@ class SimplicitsScene:
         return step, consts
 
     def _build_step_fn(self):
+        # consts flow as runtime ARGUMENTS (device arrays), not as closure
+        # captures: capturing would bake the dense operators (B, dFdz, ...)
+        # into the HLO as literal constants — hundreds of MB of program text
+        # at 10k+ qp, which inflates compiles and overflows remote-compile
+        # transports
         step, consts = self.build_functional_step()
-        return jax.jit(functools.partial(step, consts))
+        jitted = jax.jit(step)
+        return lambda z, z_prev, z_dot: jitted(consts, z, z_prev, z_dot)
 
     def run_sim_step(self):
         """Run one implicit time step — a single compiled XLA call.
@@ -681,14 +687,15 @@ class SimplicitsScene:
         if self._scan_fn is None:
             step, consts = self.build_functional_step()
 
+            # consts as runtime args (see _build_step_fn)
             @functools.partial(jax.jit, static_argnames="n")
-            def rollout(z, z_prev, z_dot, n):
+            def rollout(c, z, z_prev, z_dot, n):
                 def body(carry, _):
-                    return step(consts, *carry), None
+                    return step(c, *carry), None
                 carry, _ = jax.lax.scan(body, (z, z_prev, z_dot), None,
                                         length=n)
                 return carry
-            self._scan_fn = rollout
+            self._scan_fn = functools.partial(rollout, consts)
         self.sim_z, self.sim_z_prev, self.sim_z_dot = self._scan_fn(
             self.sim_z, self.sim_z_prev, self.sim_z_dot, n=int(num_steps))
         self.current_sim_step += int(num_steps)

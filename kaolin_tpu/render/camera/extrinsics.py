@@ -36,17 +36,25 @@ def _to_batched_3(x, dtype):
 class CameraExtrinsics:
     """Batched world→camera transform: x_cam = R x_world + t. Ref :51."""
 
-    def __init__(self, params, backend="matrix_se3"):
+    def __init__(self, params, backend="matrix_se3", base_change=None):
         self.params = params
         self.backend = backend
+        # accumulated coordinate-system basis change (ref
+        # _base_change_matrix :1103); kept as a hashable tuple so it can
+        # ride in pytree aux. None ≡ identity.
+        self._base_change = base_change
 
     # -- pytree protocol --
     def tree_flatten(self):
-        return (self.params,), self.backend
+        return (self.params,), (self.backend, self._base_change)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], backend=aux)
+        if isinstance(aux, tuple):
+            backend, base_change = aux
+        else:  # legacy aux layout
+            backend, base_change = aux, None
+        return cls(children[0], backend=backend, base_change=base_change)
 
     # -- constructors --
     @classmethod
@@ -198,7 +206,9 @@ class CameraExtrinsics:
 
     # -- rigid manipulation (pure: returns new extrinsics) --
     def _update_R_t(self, R, t):
-        return CameraExtrinsics._from_R_t(R, t, self.backend)
+        out = CameraExtrinsics._from_R_t(R, t, self.backend)
+        out._base_change = self._base_change
+        return out
 
     def translate(self, t):
         """Translate the camera in world space. Ref :802."""
@@ -258,11 +268,57 @@ class CameraExtrinsics:
         reference's transform (ref :495, R update at :577-580). Pure."""
         p = jnp.asarray(basis_change, dtype=self.dtype)
         R = self.R @ p.T[None]
-        return self._update_R_t(R, self.t[..., 0])
+        out = self._update_R_t(R, self.t[..., 0])
+        prev = (np.eye(3) if self._base_change is None
+                else np.asarray(self._base_change))
+        out._base_change = tuple(
+            tuple(float(x) for x in row) for row in np.asarray(p) @ prev)
+        return out
+
+    @property
+    def basis_change_matrix(self):
+        """The accumulated coordinate-system change (permutation +
+        reflections) applied via :meth:`change_coordinate_system`; (3, 3).
+        Ref :1103."""
+        if self._base_change is None:
+            return jnp.eye(3, dtype=self.dtype)
+        return jnp.asarray(self._base_change, dtype=self.dtype)
+
+    def reset_coordinate_system(self):
+        """Undo every accumulated :meth:`change_coordinate_system`, back to
+        the default right-handed cartesian basis. Pure (returns a new
+        extrinsics, unlike the reference's in-place :557)."""
+        if self._base_change is None:
+            return self
+        out = self.change_coordinate_system(self.basis_change_matrix.T)
+        out._base_change = None
+        return out
+
+    @classmethod
+    def available_backends(cls):
+        """Names of registered parameterization backends. Ref :1170."""
+        from kaolin_tpu.render.camera.extrinsics_backends import (
+            _BACKEND_REGISTRY)
+        return ("matrix_se3", "matrix_6dof_rotation",
+                *_BACKEND_REGISTRY.keys())
+
+    @classmethod
+    def cat(cls, extrinsics):
+        """Concatenate same-backend extrinsics along the batch dim.
+        Ref :1180 (coordinate system taken from the first, like the
+        reference)."""
+        first = extrinsics[0]
+        for other in extrinsics[1:]:
+            if other.backend != first.backend:
+                raise ValueError("cat needs same-backend extrinsics")
+        params = jnp.concatenate([e.params for e in extrinsics], axis=0)
+        return cls(params, backend=first.backend,
+                   base_change=first._base_change)
 
     def __getitem__(self, item):
         return CameraExtrinsics(self.params[item].reshape(-1, self.params.shape[-1]),
-                                backend=self.backend)
+                                backend=self.backend,
+                                base_change=self._base_change)
 
     def __repr__(self):
         return (f"CameraExtrinsics(num_cameras={len(self)}, "
@@ -318,16 +374,26 @@ class CameraExtrinsics:
     def to_dict(self):
         """JSON/YAML-writable constructor dict; round-trips via
         :meth:`from_dict`."""
-        return {"classname": "CameraExtrinsics",
-                "backend": self.backend,
-                "params": np.asarray(self.params).tolist()}
+        out = {"classname": "CameraExtrinsics",
+               "backend": self.backend,
+               "params": np.asarray(self.params).tolist()}
+        if self._base_change is not None:
+            out["base_change"] = [list(r) for r in self._base_change]
+        return out
+
+    def as_dict(self):
+        """Alias of :meth:`to_dict` (reference naming)."""
+        return self.to_dict()
 
     @classmethod
     def from_dict(cls, d, dtype=jnp.float32):
         if d.get("classname") != "CameraExtrinsics":
             raise ValueError(f"not a CameraExtrinsics dict: {d.get('classname')}")
+        bc = d.get("base_change")
+        if bc is not None:
+            bc = tuple(tuple(float(x) for x in row) for row in bc)
         return cls(jnp.asarray(d["params"], dtype=dtype),
-                   backend=d["backend"])
+                   backend=d["backend"], base_change=bc)
 
 
 def allclose(input, other, rtol=1e-05, atol=1e-08, equal_nan=False):

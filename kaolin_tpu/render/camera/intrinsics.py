@@ -112,6 +112,54 @@ class CameraIntrinsics:
             [self.params[item].reshape(-1, self.params.shape[-1])])
         return out
 
+    def aspect_ratio(self):
+        """Aspect ratio of the cameras held by this object. Ref :174."""
+        return self.width / self.height
+
+    def clip_mask(self, depth):
+        """Boolean mask marking which ``depth`` values lie inside the view
+        frustum (between near and far). Ref :435."""
+        lo, hi = min(self.near, self.far), max(self.near, self.far)
+        return (depth >= lo) & (depth <= hi)
+
+    def viewport_matrix(self, vl=0, vr=None, vb=0, vt=None, min_depth=0.0,
+                        max_depth=1.0):
+        """NDC → pixel-space matrix (general glViewport form), (1, 4, 4).
+        x/y NDC in [-1, 1] map to [vl, vr] x [vb, vt]; NDC z in
+        [ndc_min, ndc_max] maps to [min_depth, max_depth]. Ref :182."""
+        vr = self.width if vr is None else vr
+        vt = self.height if vt is None else vt
+        vl, vr, vb, vt = float(vl), float(vr), float(vb), float(vt)
+        ndc_w, ndc_h = 2.0, 2.0
+        ndc_d = self.ndc_max - self.ndc_min
+        vw, vh = vr - vl, vt - vb
+        dr = max_depth - min_depth
+        m = jnp.asarray([
+            [vw / ndc_w, 0.0, 0.0, vw / ndc_w + vl],
+            [0.0, vh / ndc_h, 0.0, vh / ndc_h + vb],
+            [0.0, 0.0, dr / ndc_d,
+             -(self.ndc_min / ndc_d) * dr + min_depth],
+            [0.0, 0.0, 0.0, 1.0]], dtype=self.dtype)
+        return m[None]
+
+    def set_ndc_range(self, ndc_min, ndc_max):
+        """Unsupported, matching the reference (ref :516: 'Currently only
+        NDC space of [-1, 1] is supported.')."""
+        raise NotImplementedError(
+            "Currently only NDC space of [-1, 1] is supported.")
+
+    @classmethod
+    def cat(cls, intrinsics):
+        """Concatenate same-type intrinsics along the batch dim. Ref :556."""
+        first = intrinsics[0]
+        for other in intrinsics[1:]:
+            if type(other) is not type(first) or \
+                    (other.width, other.height) != (first.width, first.height):
+                raise ValueError("cat needs same-type, same-canvas intrinsics")
+        params = jnp.concatenate([i.params for i in intrinsics], axis=0)
+        return jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(first), [params])
+
     # -- differentiable-param machinery (ref :304-434, :148-172) --
     PARAMS = ()  # subclass param slot names, in buffer order
 

@@ -139,6 +139,56 @@ class TimelapseParser:
         """Ref :290."""
         return self.dir_info[type][category][id]["path"]
 
+    def get_category_names_by_type(self, type):
+        """Category names logged for ``type`` (None for unknown types).
+        Ref :346."""
+        if type not in self.dir_info:
+            return None
+        return sorted(self.dir_info[type])
+
+    def get_category_info(self, type, category):
+        """Serializable summary for one (type, category): ids, per-id file
+        paths and the latest authored time. Ref :350."""
+        if type not in self.dir_info or category not in self.dir_info[type]:
+            return None
+        items = self.dir_info[type][category]
+        return {"category": category,
+                "ids": sorted(items),
+                "paths": [items[i]["path"] for i in sorted(items)],
+                "end_time": max((v["end_time"] for v in items.values()),
+                                default=0)}
+
+    @staticmethod
+    def get_filepaths(logdir):
+        """All Timelapse-convention USD files under ``logdir``, keyed by
+        (typestr, category, id). Ref :356."""
+        out = {}
+        for root, _, files in os.walk(logdir):
+            for fn in files:
+                m = re.match(r"(mesh|pointcloud|voxelgrid)_(\d+)\.usda?$", fn)
+                if not m:
+                    continue
+                category = os.path.relpath(root, logdir)
+                category = "" if category == "." else category
+                out[(m.group(1), category, int(m.group(2)))] = \
+                    os.path.join(root, fn)
+        return out
+
+    @staticmethod
+    def parse_filepath_info(filepaths):
+        """Summarize :meth:`get_filepaths` output per type → list of
+        category-info dicts. Ref :390."""
+        info = {}
+        for (typ, cat, idx), path in sorted(filepaths.items()):
+            times = TimelapseParser._get_timestamps(path)
+            cats = info.setdefault(typ, {})
+            entry = cats.setdefault(cat, {"category": cat, "ids": [],
+                                          "end_time": 0})
+            entry["ids"].append(idx)
+            entry["end_time"] = max(entry["end_time"],
+                                    max(times) if times else 0)
+        return {typ: list(cats.values()) for typ, cats in info.items()}
+
     def _count(self, typ):
         return sum(len(v) for v in self.dir_info[typ].values())
 

@@ -110,3 +110,83 @@ def test_random_material_colorspaces():
     assert len(cs) == 11
     assert all(v in ("auto", "raw") for v in cs.values())
     assert "diffuse_colorspace" in cs
+
+
+def test_camera_api_depth():
+    """Round-2 API-audit additions: viewport_matrix, clip_mask,
+    aspect_ratio, cat, basis-change tracking (ref intrinsics.py:174-263,
+    extrinsics.py:1103-1190)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from kaolin_tpu.render.camera import Camera
+    from kaolin_tpu.render.camera.extrinsics import CameraExtrinsics
+    from kaolin_tpu.render.camera.intrinsics import PinholeIntrinsics
+
+    cam = Camera.from_args(eye=jnp.asarray([0.0, 0.0, 3.0]),
+                           at=jnp.zeros(3), up=jnp.asarray([0.0, 1.0, 0.0]),
+                           fov=0.8, width=64, height=32)
+    assert cam.intrinsics.aspect_ratio() == 2.0
+
+    vp = np.asarray(cam.intrinsics.viewport_matrix())[0]
+    # NDC (-1,-1) -> (0, 0); (1, 1) -> (w, h)
+    lo = vp @ np.asarray([-1.0, -1.0, cam.intrinsics.ndc_min, 1.0])
+    hi = vp @ np.asarray([1.0, 1.0, cam.intrinsics.ndc_max, 1.0])
+    np.testing.assert_allclose(lo[:3], [0, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(hi[:3], [64, 32, 1], atol=1e-6)
+
+    depth = jnp.asarray([0.001, 0.5, 1e4])
+    np.testing.assert_array_equal(np.asarray(cam.intrinsics.clip_mask(depth)),
+                                  [False, True, False])
+
+    both = PinholeIntrinsics.cat([cam.intrinsics, cam.intrinsics])
+    assert both.params.shape[0] == 2
+    eboth = CameraExtrinsics.cat([cam.extrinsics, cam.extrinsics])
+    assert eboth.params.shape[0] == 2
+
+    assert "matrix_se3" in CameraExtrinsics.available_backends()
+
+    # basis change accumulates and resets exactly
+    import kaolin_tpu.render.camera.coordinates as coords
+    flip = jnp.asarray([[1.0, 0, 0], [0, 0, 1.0], [0, 1.0, 0]])
+    changed = cam.extrinsics.change_coordinate_system(flip)
+    np.testing.assert_allclose(np.asarray(changed.basis_change_matrix),
+                               np.asarray(flip))
+    back = changed.reset_coordinate_system()
+    np.testing.assert_allclose(np.asarray(back.view_matrix()),
+                               np.asarray(cam.extrinsics.view_matrix()),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(back.basis_change_matrix),
+                               np.eye(3), atol=1e-6)
+
+    import pytest
+    with pytest.raises(NotImplementedError):
+        cam.intrinsics.set_ndc_range(0.0, 1.0)
+
+
+def test_timelapse_parser_api_depth(tmp_path):
+    """get_filepaths / parse_filepath_info / category queries
+    (ref visualize/timelapse.py:346-420)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from kaolin_tpu.visualize import Timelapse, TimelapseParser
+
+    tl = Timelapse(str(tmp_path))
+    v = jnp.asarray(np.random.RandomState(0).rand(4, 3), jnp.float32)
+    f = jnp.asarray([[0, 1, 2], [0, 2, 3]])
+    for it in (0, 5):
+        tl.add_mesh_batch(iteration=it, category="opt",
+                          vertices_list=[v + it], faces_list=[f])
+
+    fps = TimelapseParser.get_filepaths(str(tmp_path))
+    assert any(k[0] == "mesh" and k[1] == "opt" for k in fps)
+    info = TimelapseParser.parse_filepath_info(fps)
+    assert "mesh" in info
+    assert info["mesh"][0]["category"] == "opt"
+    assert info["mesh"][0]["end_time"] >= 5
+
+    parser = TimelapseParser(str(tmp_path))
+    assert parser.get_category_names_by_type("mesh") == ["opt"]
+    ci = parser.get_category_info("mesh", "opt")
+    assert ci["ids"] == [0] and ci["end_time"] >= 5
+    assert parser.get_category_info("mesh", "nope") is None
+    assert parser.get_category_names_by_type("bogus") is None

@@ -181,3 +181,37 @@ def test_sh9_parity(ref, data):
                                         _t(d["normals"]),
                                         _t(d["albedo"])).numpy(),
         rtol=1e-5, atol=1e-6)
+
+
+def test_sg_from_environment_map_reconstructs():
+    """Fitting SGs to an equirect env map reproduces it (the reference
+    declares this API but raises NotImplementedError, sg.py:121)."""
+    import math
+    import numpy as np
+    import jax.numpy as jnp
+    from kaolin_tpu.render.lighting import SgLightingParameters
+
+    h, w = 32, 64
+    el = (0.5 - (np.arange(h) + 0.5) / h) * math.pi
+    az = ((np.arange(w) + 0.5) / w - 0.5) * 2 * math.pi
+    ce = np.cos(el)[:, None]
+    dirs = np.stack([ce * np.cos(az)[None],
+                     np.broadcast_to(np.sin(el)[:, None], (h, w)),
+                     ce * np.sin(az)[None]], -1)
+    # smooth env: warm light from +x, cool from -y
+    img = np.stack([0.8 * np.clip(dirs[..., 0], 0, 1) + 0.1,
+                    0.3 * np.clip(dirs[..., 0], 0, 1) + 0.1,
+                    0.6 * np.clip(-dirs[..., 1], 0, 1) + 0.1],
+                   -1).astype(np.float32)
+
+    params = SgLightingParameters.from_environment_map(img, num_sg=48)
+    assert params.amplitude.shape == (48, 3)
+
+    # reconstruct and compare
+    lob = np.asarray(params.direction)
+    amp = np.asarray(params.amplitude)
+    sh = np.asarray(params.sharpness)
+    basis = np.exp(sh[None] * (dirs.reshape(-1, 3) @ lob.T - 1.0))
+    recon = (basis @ amp).reshape(h, w, 3)
+    err = np.abs(recon - img).mean() / img.mean()
+    assert err < 0.08, err
