@@ -186,8 +186,7 @@ def bench_raytrace(level=9, res=512, num_frames=20):
     import jax.numpy as jnp
     from kaolin_tpu.ops.spc import scan_octrees, unbatched_points_to_octree
     from kaolin_tpu.render.camera import Camera, generate_rays
-    from kaolin_tpu.render.spc.raytrace import (_raytrace_fixed,
-                                                raytrace_overflow_report)
+    from kaolin_tpu.render.spc.raytrace import _raytrace_perray
 
     # dense unit-sphere shell voxelized at 2^level (analytic; build cost is
     # one-time setup and excluded, like the reference bench would exclude
@@ -213,23 +212,21 @@ def bench_raytrace(level=9, res=512, num_frames=20):
     dirs = jnp.asarray(dirs, jnp.float32)
     num_rays = origins.shape[0]
 
-    # size the buffer once via the report (power-of-2 growth), then render at
-    # a fixed validated capacity
-    cap = max(4 * num_rays, 1024)
-    while raytrace_overflow_report(octree, None, pyramid, exsum, origins,
-                                   dirs, level, cap)["overflowed"]:
-        cap *= 2
-
+    # per-ray fixed-slot traversal (row-local sorts, no global compaction);
+    # size K once by growing on overflow, then render at the validated K
     octree_j = jnp.asarray(octree)
     exsum_j = jnp.asarray(exsum)
+    k = 16
+    while bool(_raytrace_perray(octree_j, exsum_j, origins, dirs, level,
+                                k)[-1]):
+        k *= 2
 
     @jax.jit
     def render_depth(o, v):
-        ridx, _, t_in, _, valid, _, _ = _raytrace_fixed(
-            octree_j, exsum_j, o, v, level, cap)
-        # first-hit depth per ray (nuggets are front-to-back: min == first)
-        t = jnp.where(valid, t_in, jnp.inf)
-        img = jnp.full((num_rays,), jnp.inf, t.dtype).at[ridx].min(t)
+        _, _, t_in, _, valid, _ = _raytrace_perray(
+            octree_j, exsum_j, o, v, level, k)
+        # first-hit depth per ray: nuggets are per-row front-to-back
+        img = jnp.min(jnp.where(valid, t_in, jnp.inf), axis=1)
         return img.reshape(res, res)
 
     out = render_depth(origins, dirs)

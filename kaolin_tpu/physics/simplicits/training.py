@@ -16,6 +16,7 @@ import logging
 import jax
 import jax.numpy as jnp
 import numpy as np
+from typing import Any, Protocol, runtime_checkable
 import optax
 
 from kaolin_tpu.physics.simplicits.losses import compute_losses
@@ -25,8 +26,11 @@ logger = logging.getLogger(__name__)
 
 __all__ = [
     "PhysicsPoints",
+    "PhysicsPointsProtocol",
     "SkinnedPoints",
+    "SkinnedPointsProtocol",
     "SkinnedPhysicsPoints",
+    "SkinnedPhysicsPointsProtocol",
     "SimplicitsObject",
 ]
 
@@ -36,6 +40,43 @@ def _per_point(val, n, dtype=jnp.float32):
     if val.ndim == 0:
         val = jnp.full((n,), val, dtype=dtype)
     return val.reshape(-1)
+
+
+@runtime_checkable
+class PhysicsPointsProtocol(Protocol):
+    """Point-sampled object + per-point material properties (pts, yms, prs,
+    rhos, appx_vol + subsample). Ref :40."""
+    pts: Any
+    yms: Any
+    prs: Any
+    rhos: Any
+    appx_vol: Any
+
+    def subsample(self, num_pts=None, sample_indices=None):
+        ...
+
+
+@runtime_checkable
+class SkinnedPointsProtocol(Protocol):
+    """Points + per-point skinning weights — enough to LBS-move a renderable
+    representation (e.g. gaussian splats). Ref :214."""
+    pts: Any
+    skinning_weights: Any
+
+
+@runtime_checkable
+class SkinnedPhysicsPointsProtocol(Protocol):
+    """Everything the Simplicits simulator needs from a baked object:
+    material point sampling + skinning weights + their spatial jacobian
+    dwdx + optional renderable points. Ref :300."""
+    pts: Any
+    yms: Any
+    prs: Any
+    rhos: Any
+    appx_vol: Any
+    skinning_weights: Any
+    dwdx: Any
+    renderable: Any
 
 
 class PhysicsPoints:

@@ -137,6 +137,100 @@ def _raytrace_fixed(octree, exsum, origin, direction, level, capacity,
             else jnp.zeros((0,), jnp.int32), overflowed)
 
 
+@functools.partial(jax.jit, static_argnames=("level", "slots"))
+def _raytrace_perray(octree, exsum, origin, direction, level, slots):
+    """Per-ray fixed-slot BFS traversal — the TPU-fast path.
+
+    The capacity-buffer formulation above compacts ALL rays' candidates with
+    one global ``jnp.nonzero`` per level (a full-capacity scan + scatter,
+    ~8x capacity elements touched per level). Here every ray owns ``slots``
+    (K) active-node slots: each level expands (R, K) nodes to (R, K*8)
+    children and compacts *within each row* by a lane-local sort on the
+    front-to-back slot order — no cross-ray communication, no global scans,
+    work ∝ R*K*8 per level with tiny constants. For closed surfaces a ray
+    pierces O(1) cells per level, so K stays ~8-32 regardless of resolution.
+
+    Node cell coords ride along as morton codes (child = (m << 3) | octant,
+    matching ops.spc points_to_morton bit order), decoded only for the AABB
+    test.
+
+    Returns (nidx (R, K) int32, morton (R, K) int32, t_in (R, K),
+    t_out (R, K), valid (R, K) bool, overflowed bool) — per-ray nuggets in
+    front-to-back order; ``overflowed`` True when some ray needed more than
+    K slots at some level (results truncated for that ray).
+    """
+    num_rays = origin.shape[0]
+    dtype = origin.dtype
+    k = slots
+    inv_dir = 1.0 / jnp.where(jnp.abs(direction) > 1e-12, direction,
+                              jnp.where(direction >= 0, 1e-12, -1e-12))
+    neg_mask = ((direction[:, 0] < 0).astype(jnp.int32) * 4
+                + (direction[:, 1] < 0).astype(jnp.int32) * 2
+                + (direction[:, 2] < 0).astype(jnp.int32))  # (R,)
+    octant = jnp.arange(8, dtype=jnp.int32)
+
+    root_hit, _, _ = _ray_aabb(origin, inv_dir,
+                               jnp.full((num_rays, 3), -1.0, dtype),
+                               jnp.full((num_rays, 3), 1.0, dtype))
+    nidx = jnp.zeros((num_rays, k), jnp.int32)
+    morton = jnp.zeros((num_rays, k), jnp.int32)
+    valid = jnp.zeros((num_rays, k), bool).at[:, 0].set(root_hit)
+    overflowed = jnp.asarray(False)
+
+    def decode_morton(m, nbits):
+        """(..., ) int32 morton → (..., 3) int32 cell coords."""
+        out = []
+        for axis in (2, 1, 0):  # x, y, z at bit offsets 2, 1, 0
+            v = jnp.zeros_like(m)
+            for b in range(nbits):
+                v = v | (((m >> (3 * b + axis)) & 1) << b)
+            out.append(v)
+        return jnp.stack(out, axis=-1)
+
+    big = jnp.int32(8 * k)
+    for l in range(level):
+        cell = 2.0 / (2 ** (l + 1))
+        byte = octree[jnp.where(valid, nidx, 0)].astype(jnp.int32)  # (R, K)
+        child_oct = (octant[None, None, :]
+                     ^ neg_mask[:, None, None])                # (R, K, 8)
+        has_child = ((byte[..., None] >> child_oct) & 1) == 1
+        child_m = (morton[..., None] << 3) | child_oct         # (R, K, 8)
+        coords = decode_morton(child_m, l + 1)                 # (R, K, 8, 3)
+        bmin = coords.astype(dtype) * cell - 1.0
+        hit, _, _ = _ray_aabb(origin[:, None, None, :],
+                              inv_dir[:, None, None, :], bmin, bmin + cell)
+        cand = valid[..., None] & has_child & hit              # (R, K, 8)
+
+        below = byte[..., None] & ((1 << child_oct) - 1)
+        popc = jax.lax.population_count(below.astype(jnp.uint32)) \
+            .astype(jnp.int32)
+        base = jnp.where(nidx > 0, exsum[jnp.clip(nidx - 1, 0, None)], 0)
+        child_n = base[..., None] + popc + 1                   # (R, K, 8)
+
+        flat_cand = cand.reshape(num_rays, k * 8)
+        count = jnp.sum(flat_cand.astype(jnp.int32), axis=-1)  # per ray
+        overflowed = overflowed | jnp.any(count > k)
+        # row-local front-to-back order: slot-major then octant order
+        key = jnp.where(flat_cand,
+                        jax.lax.broadcasted_iota(jnp.int32,
+                                                 (num_rays, k * 8), 1),
+                        big)
+        key_s, m_s, n_s = jax.lax.sort(
+            (key, child_m.reshape(num_rays, k * 8),
+             child_n.reshape(num_rays, k * 8)),
+            dimension=-1, num_keys=1)
+        nidx = n_s[:, :k]
+        morton = m_s[:, :k]
+        valid = key_s[:, :k] < big
+
+    cell = 2.0 / (2 ** level)
+    coords = decode_morton(morton, level)
+    bmin = coords.astype(dtype) * cell - 1.0
+    _, t_in, t_out = _ray_aabb(origin[:, None, :], inv_dir[:, None, :],
+                               bmin, bmin + cell)
+    return nidx, morton, t_in, t_out, valid, overflowed
+
+
 def _capacity_ceiling(num_rays, num_leaf, level):
     """Worst-case nugget count: every ray visits every leaf (never larger
     than the number of candidate (ray, node) pairs a dense traversal sees)."""
@@ -168,36 +262,50 @@ def unbatched_raytrace(octree, point_hierarchy, pyramid, exsum, origin,
     num_rays = origin.shape[0]
     pyramid_np = np.asarray(pyramid)
     num_leaf = int(pyramid_np[0, level])
-    ceiling = _capacity_ceiling(num_rays, num_leaf, level)
-    auto = max_nuggets is None
-    if auto:
-        max_nuggets = min(max(4 * num_rays, 1024), ceiling)
-
     octree = jnp.asarray(octree)
     exsum = jnp.asarray(exsum)
-    while True:
+
+    if max_nuggets is None:
+        # per-ray fixed-slot path: auto-grow K (slots per ray) on overflow
+        k = 16
+        k_ceiling = max(num_leaf, 16)
+        while True:
+            nidx, _, t_in2, t_out2, valid2, overflowed = _raytrace_perray(
+                octree, exsum, origin, direction, level, k)
+            if not bool(overflowed) or k >= k_ceiling:
+                break
+            k = min(k * 2, k_ceiling)
+        flat_valid = valid2.reshape(-1)
+        count = int(jnp.sum(flat_valid))
+        sel = jnp.nonzero(flat_valid, size=count)[0]
+        ridx = (sel // k).astype(jnp.int32)
+        pidx = nidx.reshape(-1)[sel].astype(jnp.int32)
+        t_in = t_in2.reshape(-1)[sel]
+        t_out = t_out2.reshape(-1)[sel]
+    else:
+        # explicit global capacity: the capacity-buffer oracle path
+        ceiling = _capacity_ceiling(num_rays, num_leaf, level)
+        max_nuggets = min(int(max_nuggets), ceiling)
         ridx, pidx, t_in, t_out, valid, _, overflowed = _raytrace_fixed(
             octree, exsum, origin, direction, level, max_nuggets,
             return_exit=with_exit)
-        if not bool(overflowed) or max_nuggets >= ceiling:
-            break
-        if not auto:
+        if bool(overflowed):
             import warnings
             warnings.warn(
                 f"unbatched_raytrace: max_nuggets={max_nuggets} overflowed — "
                 f"nuggets were dropped. Use raytrace_overflow_report to size "
                 f"the buffer, or pass max_nuggets=None to auto-grow.")
-            break
-        max_nuggets = min(max_nuggets * 2, ceiling)
+        count = int(jnp.sum(valid))
+        ridx = ridx[:count].astype(jnp.int32)
+        pidx = pidx[:count].astype(jnp.int32)
+        t_in = t_in[:count]
+        t_out = t_out[:count]
 
-    count = int(jnp.sum(valid))
-    ridx = ridx[:count].astype(jnp.int32)
-    pidx = pidx[:count].astype(jnp.int32)
     if return_depth:
         if with_exit:
-            depth = jnp.stack([t_in[:count], t_out[:count]], axis=-1)
+            depth = jnp.stack([t_in, t_out], axis=-1)
         else:
-            depth = t_in[:count, None]
+            depth = t_in[:, None]
         return ridx, pidx, depth
     return ridx, pidx
 
