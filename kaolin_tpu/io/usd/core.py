@@ -949,6 +949,11 @@ def read_usd_preview_surface(file_path, scene_path=None, time=None,
                     or prim["name"] == scene_path.split("/")[-1]):
                 continue
         body = prim["body"]
+        # only surface shaders — a Material may also hold UsdUVTexture /
+        # primvar-reader Shader prims (ref :400 reads the surface output)
+        id_m = re.search(r'info:id\s*=\s*"([^"]+)"', body)
+        if id_m and id_m.group(1) != "UsdPreviewSurface":
+            continue
         params = {}
         for usd_name, (attr, usd_type) in inv_inputs.items():
             if usd_type == "color3f":

@@ -76,3 +76,14 @@ def test_crate_version_and_sections():
         assert sec in c.sections
     assert len(c.tokens) > 10
     assert "/" in c.paths
+
+
+def test_crate_material_read():
+    """UsdPreviewSurface materials inside a crate file parse to PBRMaterial
+    (the UsdUVTexture shader prim in the same Material must be skipped)."""
+    import numpy as np
+    from kaolin_tpu.io.usd.core import read_usd_preview_surface
+    m = read_usd_preview_surface(f"{SAMPLES}/mixed.usdc", None)
+    np.testing.assert_allclose(float(np.asarray(m.roughness_value)),
+                               0.6932139992713928, rtol=1e-5)
+    np.testing.assert_allclose(float(np.asarray(m.metallic_value)), 0.0)
