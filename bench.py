@@ -263,9 +263,12 @@ def bench_flexicubes(res=64, num_iters=10):
     scale = jnp.asarray([1.6, 0.7, 1.0])
     sdf0 = jnp.linalg.norm(grid_verts * scale, axis=-1) - 0.35
 
+    caps = fc.suggest_capacities(np.asarray(sdf0), cube_idx)
+
     def loss_fn(sdf):
         verts, faces, reg, aux = fc.jit_extract(grid_verts, sdf, cube_idx,
-                                                res, training=True)
+                                                res, capacities=caps,
+                                                training=True)
         vm = aux["vertex_mask"]
         d = jnp.abs(jnp.linalg.norm(verts, axis=-1) - 0.35) * vm
         return (jnp.sum(d) / jnp.clip(jnp.sum(vm), 1, None)

@@ -497,6 +497,23 @@ class FlexiCubes:
         return {"cubes": int(cube_factor * r2),
                 "quads": int(quad_factor * r2)}
 
+    @staticmethod
+    def suggest_capacities(scalar_field, cube_idx, margin=1.5):
+        """Capacity suggestion for :meth:`jit_extract` measured from a
+        CONCRETE sign field (host-side, one pass): true surface-cube and
+        quad counts x ``margin``, rounded up to powers of two so nearby
+        topologies reuse the same compilation. Re-check ``aux['counts']``
+        against these when the surface moves a lot."""
+        s = np.asarray(scalar_field)
+        occ = (s < 0)[np.asarray(cube_idx)]
+        osum = occ.sum(-1)
+        n_surf = int(((osum > 0) & (osum < 8)).sum())
+        # quads ≈ surface edges with one inside endpoint shared by 4 cubes;
+        # bounded by 3 per surf cube in practice — measure is cheap enough
+        pow2 = lambda v: 1 << int(np.ceil(np.log2(max(int(v), 64))))  # noqa: E731
+        return {"cubes": pow2(n_surf * margin),
+                "quads": pow2(n_surf * margin * 2)}
+
     def _resolve_ambiguities_device(self, case_full, surf, resolution):
         """On-device C16/C19 ambiguity inversion over the FULL cube grid
         (jnp analog of :meth:`_resolve_ambiguities`)."""

@@ -64,7 +64,7 @@ class Collision:
                  collision_penalty_stiffness=100.0,
                  friction_regularization=0.1, friction_fluid=0.1, friction=0.5,
                  max_contacting_pairs=10000, bounds=True,
-                 broad_phase="dense", cell_capacity=16):
+                 broad_phase="dense", cell_capacity=16, sweep_window=128):
         self.dt = float(dt)
         self.collision_radius = float(collision_particle_radius)
         self.collision_detection_ratio = float(detection_ratio)
@@ -76,10 +76,11 @@ class Collision:
         self.friction = float(friction)
         self.max_contacts = int(max_contacting_pairs)
         self.bounds = bounds
-        if broad_phase not in ("dense", "grid"):
+        if broad_phase not in ("dense", "grid", "sweep"):
             raise ValueError(f"unknown broad_phase {broad_phase!r}")
         self.broad_phase = broad_phase
         self.cell_capacity = int(cell_capacity)
+        self.sweep_window = int(sweep_window)
 
     def tree_flatten(self):
         children = (self.dt, self.collision_radius,
@@ -89,7 +90,7 @@ class Collision:
                     self.collision_penalty_stiffness,
                     self.friction_reg, self.friction_fluid, self.friction)
         return children, (self.max_contacts, self.bounds, self.broad_phase,
-                          self.cell_capacity)
+                          self.cell_capacity, self.sweep_window)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -98,8 +99,13 @@ class Collision:
          obj.collision_barrier_ratio, obj.ignore_self_collision_ratio,
          obj.collision_penalty_stiffness, obj.friction_reg,
          obj.friction_fluid, obj.friction) = children
-        (obj.max_contacts, obj.bounds, obj.broad_phase,
-         obj.cell_capacity) = aux
+        if len(aux) == 4:  # legacy aux layout
+            (obj.max_contacts, obj.bounds, obj.broad_phase,
+             obj.cell_capacity) = aux
+            obj.sweep_window = 128
+        else:
+            (obj.max_contacts, obj.bounds, obj.broad_phase,
+             obj.cell_capacity, obj.sweep_window) = aux
         return obj
 
     # -- broad phases --
@@ -166,11 +172,76 @@ class Collision:
         return (ca.reshape(-1), cb.reshape(-1), cand_ok.reshape(-1),
                 bucket_load)
 
+    def _sweep_candidates(self, cur, cp_x0, cp_obj_ids, radius):
+        """Sweep-and-prune broad phase — the TPU-fast path.
+
+        Sort points along the longest axis once; every candidate pair is a
+        (i, i+d) pair of the SORTED order with d in [1, sweep_window], built
+        by pure array shifts — zero data-dependent gathers (the grid broad
+        phase's per-candidate position gathers are latency-bound on TPU at
+        ~10 ns/element; measured 450 ms of a 510 ms step at N=10.7k).
+        Window overflow (more than sweep_window sorted neighbors within the
+        detection radius along the sweep axis) is surfaced via
+        ``detection_diagnostics`` and grows the window.
+
+        Returns (ca, cb, mask (N, W), window_load (N,)) with ca/cb ORIGINAL
+        point indices of shape (N, W)."""
+        n = cur.shape[0]
+        w = self.sweep_window
+        # longest-extent axis (traced): select key by one-hot projection
+        ext = jnp.max(cur, axis=0) - jnp.min(cur, axis=0)
+        key = cur @ jax.nn.one_hot(jnp.argmax(ext), 3, dtype=cur.dtype)
+        order = jnp.argsort(key).astype(jnp.int32)
+        key_s = key[order]
+        cur_s = cur[order]
+        x0_s = cp_x0[order]
+        ids_s = cp_obj_ids[order]
+
+        pad = lambda a, fill: jnp.concatenate(  # noqa: E731
+            [a, jnp.full((w,) + a.shape[1:], fill, a.dtype)])
+        keyp = pad(key_s, jnp.inf)
+        curp = pad(cur_s, jnp.inf)
+        x0p = pad(x0_s, jnp.inf)
+        idsp = pad(ids_s, -2)
+        orderp = pad(order, -1)
+
+        # windows as explicit static shifts (slices — guaranteed not to
+        # lower as data-dependent gathers)
+        def windows(a):
+            return jnp.stack([a[d:d + n] for d in range(1, w + 1)], axis=1)
+
+        pos_b = windows(curp)                                 # (N, W, 3)
+        key_b = windows(keyp)                                 # (N, W)
+        x0_b = windows(x0p)
+        ids_b = windows(idsp)
+        idx_b = jnp.arange(n)[:, None] + jnp.arange(1, w + 1)[None, :]
+        in_range = (idx_b < n) & (key_b - key_s[:, None] <= radius)
+
+        d2 = jnp.sum((cur_s[:, None] - pos_b) ** 2, axis=-1)
+        rest_d2 = jnp.sum((x0_s[:, None] - x0_b) ** 2, axis=-1)
+        immune = (ids_s[:, None] == ids_b) & (
+            rest_d2 < self.collision_radius * self.ignore_self_collision_ratio)
+        mask = in_range & (d2 <= radius * radius) & ~immune
+
+        window_load = jnp.sum(
+            (key_b - key_s[:, None] <= radius) & (idx_b < n), axis=-1)
+        # +count of in-radius neighbors BEYOND the window (overflow signal)
+        beyond = jnp.searchsorted(key_s, key_s + radius, side="right") \
+            - jnp.arange(n) - 1
+        window_load = jnp.maximum(window_load, beyond)
+        ca = jnp.broadcast_to(order[:, None], (n, w))
+        cb = windows(orderp)
+        return ca, cb, mask, window_load
+
     def _candidate_pairs(self, cur, cp_x0, cp_obj_ids):
         """Dispatch on ``broad_phase``; returns (ca, cb, pair_mask,
-        bucket_load or None)."""
+        load or None) with flat (C,) candidate arrays."""
         n = cur.shape[0]
         radius = 2.0 * self.collision_radius * self.collision_detection_ratio
+        if self.broad_phase == "sweep":
+            ca, cb, mask, load = self._sweep_candidates(cur, cp_x0,
+                                                        cp_obj_ids, radius)
+            return (ca.reshape(-1), cb.reshape(-1), mask.reshape(-1), load)
         if self.broad_phase == "grid":
             ca, cb, cand_ok, bucket_load = self._grid_candidates(cur, radius)
             mask = cand_ok & self._pair_mask_of(ca, cb, cur, cp_x0,
@@ -188,13 +259,16 @@ class Collision:
         grid broad phase ``max_bucket_load`` / ``cell_overflow`` (a bucket
         held more than ``cell_capacity`` points — candidates were dropped)."""
         cur = cp_dx + cp_x0
-        _, _, mask, bucket_load = self._candidate_pairs(cur, cp_x0, cp_obj_ids)
+        _, _, mask, load = self._candidate_pairs(cur, cp_x0, cp_obj_ids)
         num_pairs = jnp.sum(mask.astype(jnp.int32))
         out = {"num_pairs": num_pairs,
                "contacts_overflow": num_pairs > self.max_contacts}
-        if bucket_load is not None:
-            out["max_bucket_load"] = jnp.max(bucket_load)
-            out["cell_overflow"] = jnp.max(bucket_load) > self.cell_capacity
+        if self.broad_phase == "grid":
+            out["max_bucket_load"] = jnp.max(load)
+            out["cell_overflow"] = jnp.max(load) > self.cell_capacity
+        elif self.broad_phase == "sweep":
+            out["max_window_load"] = jnp.max(load)
+            out["window_overflow"] = jnp.max(load) > self.sweep_window
         return out
 
     # -- detection (ref :643) --
@@ -210,12 +284,36 @@ class Collision:
         cur = cp_dx + cp_x0
 
         ca, cb, pair_mask, _ = self._candidate_pairs(cur, cp_x0, cp_obj_ids)
+        if self.broad_phase == "sweep" and self.sweep_window > 64:
+            # row-compact the (N, W) candidate window to ≤64 true contacts
+            # per particle before the global nonzero, so wide windows don't
+            # inflate the extraction cost (per-particle true contact counts
+            # are tiny; >64 would mean interpenetration far past the
+            # barrier)
+            w = self.sweep_window
+            k2 = 64
+            m2 = pair_mask.reshape(n, w)
+            key = jnp.where(m2,
+                            jax.lax.broadcasted_iota(jnp.int32, (n, w), 1),
+                            jnp.int32(w))
+            key_s, cb_s = jax.lax.sort(
+                (key, cb.reshape(n, w)), dimension=-1, num_keys=1)
+            pair_mask = (key_s[:, :k2] < w).reshape(-1)
+            cb = cb_s[:, :k2].reshape(-1)
+            ca = jnp.broadcast_to(
+                ca.reshape(n, w)[:, :1], (n, k2)).reshape(-1)
         flat_idx = jnp.nonzero(pair_mask, size=self.max_contacts,
                                fill_value=-1)[0]
         valid = flat_idx >= 0
         safe = jnp.where(valid, flat_idx, 0)
         ia = ca[safe]
         ib = cb[safe]
+        # canonicalize: a static partner always sits on the b side — the
+        # barrier's target distance rc and the offset formula are asymmetric
+        # in (a, b) (rc halves for static contacts, ref :107-157), and broad
+        # phases emit pairs in arbitrary order
+        swap = (cp_is_static[ia] == 1) & (cp_is_static[ib] == 0)
+        ia, ib = (jnp.where(swap, ib, ia), jnp.where(swap, ia, ib))
 
         pos_a = cur[ia]
         pos_b = cur[ib]

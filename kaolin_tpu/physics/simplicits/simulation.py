@@ -172,6 +172,8 @@ class SimplicitsScene:
         self._ready_for_forces = False
         self._step_fn = None
         self._scan_fn = None
+        self._deformed_fns = {}
+        self._deformed_fns = {}
 
         self.sim_z = None
         self.sim_z_prev = None
@@ -326,6 +328,7 @@ class SimplicitsScene:
             "coeff": float(gravity_coeff)}
         self._step_fn = None
         self._scan_fn = None
+        self._deformed_fns = {}
 
     def set_scene_floor(self, floor_height=0.0, floor_axis=1,
                         floor_penalty=10000.0, flip_floor=False):
@@ -337,6 +340,7 @@ class SimplicitsScene:
             "coeff": float(floor_penalty)}
         self._step_fn = None
         self._scan_fn = None
+        self._deformed_fns = {}
 
     def set_object_boundary_condition(self, obj_idx, name, fcn,
                                       bdry_penalty=10000.0, pinned_x=None):
@@ -357,6 +361,7 @@ class SimplicitsScene:
             "object": boundary, "coeff": float(bdry_penalty)}
         self._step_fn = None
         self._scan_fn = None
+        self._deformed_fns = {}
         return pinned_x
 
     # contact-particle count above which the grid broad phase is the
@@ -368,21 +373,27 @@ class SimplicitsScene:
     def enable_collisions(self, collision_particle_radius=0.1,
                           detection_ratio=1.5, impenetrable_barrier_ratio=0.25,
                           collision_penalty=1000.0, max_contact_pairs=10000,
-                          friction=0.5, broad_phase=None, cell_capacity=32):
+                          friction=0.5, broad_phase=None, cell_capacity=32,
+                          sweep_window=None):
         """Ref :838.
 
         ``broad_phase``: ``"dense"`` (exact O(N²) pair matrix), ``"grid"``
         (spatial-hash cells, the analog of the reference's ``wp.HashGrid``),
-        or None (auto — grid at/above ``GRID_BROAD_PHASE_THRESHOLD`` contact
-        particles, dense below). ``cell_capacity`` is the fixed per-cell
-        candidate budget of the grid phase; overflow is surfaced by
-        ``Collision.detection_diagnostics``.
+        ``"sweep"`` (sort-and-window sweep — the TPU-fast path: candidate
+        fetch is pure array shifts, no data-dependent gathers), or None
+        (auto — sweep at/above ``GRID_BROAD_PHASE_THRESHOLD`` contact
+        particles, dense below). ``cell_capacity`` / ``sweep_window`` are
+        the fixed candidate budgets; overflow is surfaced by
+        :meth:`collision_diagnostics`.
         """
         if not self._ready_for_forces:
             self._get_scene_ready_for_forces()
         if broad_phase is None:
-            broad_phase = ("grid" if self.total_qp >=
+            broad_phase = ("sweep" if self.total_qp >=
                            self.GRID_BROAD_PHASE_THRESHOLD else "dense")
+        if broad_phase == "sweep" and sweep_window is None:
+            sweep_window = self._auto_sweep_window(
+                collision_particle_radius, detection_ratio)
         collision = Collision(
             dt=self.timestep,
             collision_particle_radius=collision_particle_radius,
@@ -394,11 +405,29 @@ class SimplicitsScene:
             max_contacting_pairs=min(max_contact_pairs,
                                      self.total_qp * (self.total_qp - 1) // 2),
             bounds=True, broad_phase=broad_phase,
-            cell_capacity=cell_capacity)
+            cell_capacity=cell_capacity,
+            sweep_window=128 if sweep_window is None else sweep_window)
         self.force_dict["collision"] = {"object": collision,
                                         "coeff": float(collision_penalty)}
         self._step_fn = None
         self._scan_fn = None
+        self._deformed_fns = {}
+
+    def _auto_sweep_window(self, collision_particle_radius, detection_ratio,
+                           margin=1.5, minimum=64):
+        """Size the sweep window from the REST configuration: the max number
+        of points inside any point's detection slab along the longest axis,
+        with headroom for deformation (overflow during sim is surfaced by
+        :meth:`collision_diagnostics`)."""
+        pts = np.asarray(self.sim_pts)
+        axis = int(np.argmax(pts.max(0) - pts.min(0)))
+        key = np.sort(pts[:, axis])
+        radius = 2.0 * collision_particle_radius * detection_ratio
+        load = np.searchsorted(key, key + radius, side="right") \
+            - np.arange(key.shape[0]) - 1
+        want = int(load.max() * margin) + 8
+        return int(min(max(minimum, 1 << int(np.ceil(np.log2(max(want, 1))))),
+                       self.total_qp))
 
     def collision_diagnostics(self):
         """Capacity-overflow surfacing for the enabled collision force at the
@@ -469,19 +498,56 @@ class SimplicitsScene:
 
     def get_object_deformed_pts(self, obj_idx, points="simulated"):
         """LBS of the object's (simulated or renderable) points by its
-        current transforms. Ref :1265."""
+        current transforms. Ref :1265.
+
+        The z → transforms → LBS chain compiles to ONE cached jit per
+        (object, points) pair, so calling this every frame (the render loop
+        of a simulatable-gaussians scene) costs a single dispatch instead
+        of ~8 eager ops."""
         obj = self.sim_obj_dict[obj_idx]
-        if points == "rendered":
-            if obj.renderable is None:
-                raise ValueError(f"object {obj_idx} has no renderable points")
-            pts = obj.renderable.pts
-            weights = obj.renderable.skinning_weights
-            tfms = self.get_object_transforms(obj_idx)[:, :3, :]
-        else:
-            pts = obj.pts
-            weights = obj.skinning_weights
-            tfms = self._get_object_transforms_internal(obj_idx)[:, :3, :]
-        return standard_lbs(pts, tfms[None], weights).reshape(pts.shape[0], 3)
+        if points == "rendered" and obj.renderable is None:
+            raise ValueError(f"object {obj_idx} has no renderable points")
+        key = (obj_idx, points)
+        if key not in self._deformed_fns:
+            if points == "rendered":
+                pts = obj.renderable.pts
+                weights = obj.renderable.skinning_weights
+            else:
+                pts = obj.pts
+                weights = obj.skinning_weights
+            sl = self.obj_z_slices[obj_idx]
+            qr_tfm = obj.qr_tfm if obj.apply_qr else None
+            norms = (obj.handle_norms if (points == "rendered"
+                                          and obj.normalize_weights_by_samples)
+                     else None)
+
+            @jax.jit
+            def deformed(z):
+                tfms = z[sl]
+                if qr_tfm is not None:
+                    tfms = qr_tfm @ tfms
+                tfms = tfms.reshape(-1, 3, 4)
+                if norms is not None:
+                    tfms = tfms / norms.reshape(-1, 1, 1)
+                return standard_lbs(pts, tfms[None], weights).reshape(
+                    pts.shape[0], 3)
+
+            self._deformed_fns[key] = deformed
+        z = (self.sim_z if (self.sim_z is not None and self._ready_for_forces)
+             else None)
+        if z is None:
+            # pre-assembly state: fall back to the eager per-object path
+            if points == "rendered":
+                pts = obj.renderable.pts
+                weights = obj.renderable.skinning_weights
+                tfms = self.get_object_transforms(obj_idx)[:, :3, :]
+            else:
+                pts = obj.pts
+                weights = obj.skinning_weights
+                tfms = self._get_object_transforms_internal(obj_idx)[:, :3, :]
+            return standard_lbs(pts, tfms[None], weights).reshape(
+                pts.shape[0], 3)
+        return self._deformed_fns[key](z)
 
     def get_object_point_transforms(self, obj_idx, points="simulated"):
         """Absolute per-point 4x4 transforms. Ref :1297."""
