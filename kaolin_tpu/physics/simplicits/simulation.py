@@ -378,18 +378,20 @@ class SimplicitsScene:
         """Ref :838.
 
         ``broad_phase``: ``"dense"`` (exact O(N²) pair matrix), ``"grid"``
-        (spatial-hash cells, the analog of the reference's ``wp.HashGrid``),
-        ``"sweep"`` (sort-and-window sweep — the TPU-fast path: candidate
-        fetch is pure array shifts, no data-dependent gathers), or None
-        (auto — sweep at/above ``GRID_BROAD_PHASE_THRESHOLD`` contact
-        particles, dense below). ``cell_capacity`` / ``sweep_window`` are
-        the fixed candidate budgets; overflow is surfaced by
+        (spatial-hash cells fetched as contiguous sorted runs — the analog
+        of the reference's ``wp.HashGrid``, restructured so candidate data
+        moves in row-slice gathers rather than TPU-hostile element
+        gathers), ``"sweep"`` (sort-and-window sweep — fastest for
+        elongated distributions with bounded axis density), or None (auto —
+        grid at/above ``GRID_BROAD_PHASE_THRESHOLD`` contact particles,
+        dense below). ``cell_capacity`` / ``sweep_window`` are the fixed
+        candidate budgets; overflow is surfaced by
         :meth:`collision_diagnostics`.
         """
         if not self._ready_for_forces:
             self._get_scene_ready_for_forces()
         if broad_phase is None:
-            broad_phase = ("sweep" if self.total_qp >=
+            broad_phase = ("grid" if self.total_qp >=
                            self.GRID_BROAD_PHASE_THRESHOLD else "dense")
         if broad_phase == "sweep" and sweep_window is None:
             sweep_window = self._auto_sweep_window(

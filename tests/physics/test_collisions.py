@@ -170,7 +170,7 @@ def test_scene_broad_phase_auto_default():
     thresh = SimplicitsScene.GRID_BROAD_PHASE_THRESHOLD
     big = make_demo_scene(0, num_qp=thresh, with_kinematic=False,
                           broad_phase=None, max_contact_pairs=4000)
-    assert big.force_dict["collision"]["object"].broad_phase == "sweep"
+    assert big.force_dict["collision"]["object"].broad_phase == "grid"
 
 
 def test_run_sim_step_grid_matches_dense_trajectory():
