@@ -41,6 +41,20 @@ BARS = {
 }
 
 
+def _sync(x):
+    """Force completion of everything ``x`` depends on.
+
+    ``jax.block_until_ready`` does NOT block on the axon tunnel platform, so
+    a fast program's dispatches can all fit in the device queue and a timed
+    loop measures dispatch only. A 4-byte scalar readback is a true fence:
+    the host transfer cannot start until the dependent program finishes.
+    """
+    import jax
+    import jax.numpy as jnp
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(jnp.ravel(leaf)[0])
+
+
 def _best_of(k, fn, sync):
     """Best rate over k timed repetitions (axon tunnel RPC jitter)."""
     best = 0.0
@@ -101,14 +115,14 @@ def bench_simplicits(num_qp=1000, num_handles=33, num_steps=50, dt=0.01):
                           floor_penalty=10000.0)
 
     scene.run_sim_step()  # compile
-    jax.block_until_ready(scene.sim_z)
+    _sync(scene.sim_z)
 
     def run():
         for _ in range(num_steps):
             scene.run_sim_step()
         return num_steps
 
-    return _best_of(2, run, lambda: jax.block_until_ready(scene.sim_z))
+    return _best_of(2, run, lambda: _sync(scene.sim_z))
 
 
 # ---------------------------------------------------------------------------
@@ -163,7 +177,7 @@ def bench_dibr(height=512, width=512, num_iters=20, n_lat=40, n_lon=64):
         return jax.value_and_grad(loss, argnums=(0, 1))(fvi, feats)
 
     out = step(fv_img, feat)
-    jax.block_until_ready(out)
+    _sync(out[0])
     holder = {}
 
     def run():
@@ -171,7 +185,7 @@ def bench_dibr(height=512, width=512, num_iters=20, n_lat=40, n_lon=64):
             holder["out"] = step(fv_img, feat)
         return num_iters
 
-    return _best_of(2, run, lambda: jax.block_until_ready(holder["out"]))
+    return _best_of(2, run, lambda: _sync(holder["out"]))
 
 
 # ---------------------------------------------------------------------------
@@ -230,7 +244,7 @@ def bench_raytrace(level=9, res=512, num_frames=20):
         return img.reshape(res, res)
 
     out = render_depth(origins, dirs)
-    jax.block_until_ready(out)
+    _sync(out)
     holder = {}
 
     def run():
@@ -238,7 +252,7 @@ def bench_raytrace(level=9, res=512, num_frames=20):
             holder["out"] = render_depth(origins, dirs)
         return num_frames
 
-    fps = _best_of(2, run, lambda: jax.block_until_ready(holder["out"]))
+    fps = _best_of(2, run, lambda: _sync(holder["out"]))
     return fps
 
 
@@ -248,27 +262,24 @@ def bench_raytrace(level=9, res=512, num_frames=20):
 
 def bench_flexicubes(res=64, num_iters=10):
     """Differentiable SDF→mesh shape-optimization inner loop at the
-    reference tutorial resolution. Uses the fully on-device static-capacity
-    path (FlexiCubes.jit_extract): topology + geometry + grad + Adam update
-    are ONE compiled program per iteration — no host topology refresh, no
-    retracing when the sign pattern changes."""
+    reference tutorial resolution. Uses the dense lattice path
+    (``dense_extract``): every stage is a shifted-slice stencil or one-hot
+    table matmul over the dense cube grid — zero data-dependent gathers, so
+    topology + geometry + grad + Adam update compile to ONE gather-free XLA
+    program per iteration."""
     import jax
     import jax.numpy as jnp
     import optax
-    from kaolin_tpu.ops.conversions import FlexiCubes
+    from kaolin_tpu.ops.conversions import FlexiCubes, dense_extract
 
     fc = FlexiCubes()
-    grid_verts, cube_idx = fc.construct_voxel_grid(res)
+    grid_verts, _ = fc.construct_voxel_grid(res)
     grid_verts = jnp.asarray(grid_verts)
     scale = jnp.asarray([1.6, 0.7, 1.0])
     sdf0 = jnp.linalg.norm(grid_verts * scale, axis=-1) - 0.35
 
-    caps = fc.suggest_capacities(np.asarray(sdf0), cube_idx)
-
     def loss_fn(sdf):
-        verts, faces, reg, aux = fc.jit_extract(grid_verts, sdf, cube_idx,
-                                                res, capacities=caps,
-                                                training=True)
+        verts, faces, reg, aux = dense_extract(sdf, res, training=True)
         vm = aux["vertex_mask"]
         d = jnp.abs(jnp.linalg.norm(verts, axis=-1) - 0.35) * vm
         return (jnp.sum(d) / jnp.clip(jnp.sum(vm), 1, None)
@@ -283,7 +294,7 @@ def bench_flexicubes(res=64, num_iters=10):
         return optax.apply_updates(sdf, updates), state
 
     sdf, state = one_iter(sdf0, opt.init(sdf0))  # compile
-    jax.block_until_ready(sdf)
+    _sync(sdf)
     box = {"sdf": sdf, "state": state}
 
     def run():
@@ -291,7 +302,7 @@ def bench_flexicubes(res=64, num_iters=10):
             box["sdf"], box["state"] = one_iter(box["sdf"], box["state"])
         return num_iters
 
-    return _best_of(2, run, lambda: jax.block_until_ready(box["sdf"]))
+    return _best_of(2, run, lambda: _sync(box["sdf"]))
 
 
 # ---------------------------------------------------------------------------
@@ -337,7 +348,7 @@ def bench_gaussians_sim(num_gaussians=2000, num_qp=2048, num_handles=16,
 
     scene.run_sim_step()
     moved = scene.get_object_deformed_pts(obj_idx, points="rendered")
-    jax.block_until_ready(moved)
+    _sync(moved)
     holder = {}
 
     def run():
@@ -347,7 +358,7 @@ def bench_gaussians_sim(num_gaussians=2000, num_qp=2048, num_handles=16,
                                                         points="rendered")
         return num_steps
 
-    return _best_of(2, run, lambda: jax.block_until_ready(holder["m"]))
+    return _best_of(2, run, lambda: _sync(holder["m"]))
 
 
 # ---------------------------------------------------------------------------
@@ -403,14 +414,14 @@ def bench_collision_10k(num_objects=6, qp_per_object=1700, num_handles=6,
             "auto default must pick grid at N>=10k"
 
     scene.run_sim_step()
-    jax.block_until_ready(scene.sim_z)
+    _sync(scene.sim_z)
 
     def run():
         for _ in range(num_steps):
             scene.run_sim_step()
         return num_steps
 
-    rate = _best_of(2, run, lambda: jax.block_until_ready(scene.sim_z))
+    rate = _best_of(2, run, lambda: _sync(scene.sim_z))
     diag = scene.collision_diagnostics()
     rate_meta = {"num_particles": int(scene.total_qp),
                  "num_pairs": int(diag["num_pairs"]),

@@ -1,4 +1,7 @@
-from kaolin_tpu.ops.conversions.flexicubes import FlexiCubes  # noqa: F401
+from kaolin_tpu.ops.conversions.flexicubes import (  # noqa: F401
+    FlexiCubes,
+    dense_extract,
+)
 from kaolin_tpu.ops.conversions.gaussians import gs_to_voxelgrid  # noqa: F401
 from kaolin_tpu.ops.conversions.pointcloud import (  # noqa: F401
     pointclouds_to_voxelgrids,
