@@ -198,9 +198,14 @@ def make_demo_scene(seed, num_qp=32, num_handles=3, dt=0.03,
     if with_collision:
         # grid by default so the multichip dryrun exercises the product
         # broad phase (the auto threshold would pick dense at demo scale)
+        # explicit capacities: the grid's static shapes must be identical
+        # across scenes built with the same structural args for stacking
+        # (auto capacities are measured per-scene and could differ by seed)
         scene.enable_collisions(collision_particle_radius=0.15,
                                 max_contact_pairs=max_contact_pairs,
-                                broad_phase=broad_phase)
+                                broad_phase=broad_phase,
+                                cell_capacity=32,
+                                slot_contact_capacity=32)
     return scene
 
 

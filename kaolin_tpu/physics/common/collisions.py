@@ -4,23 +4,32 @@ TPU-native analog of reference ``kaolin/physics/common/collisions.py``
 (detection kernel :37, energy :159, gradient :256, hessian :366, bounds :509,
 Collision :578).
 
-Fixed-shape design for XLA: detection emits a capacity-bounded contact
-buffer with a validity mask via ``jnp.nonzero(..., size=max_contacts)`` (the
-reference also caps contacts at ``max_contacting_pairs``). Two broad phases
-share that narrow phase:
+Fixed-shape design for XLA. Three broad phases share one narrow phase:
 
 * ``dense`` — the (N, N) pairwise-distance mask; simplest, exact, O(N²).
 * ``grid`` — the TPU answer to the reference's ``wp.HashGrid`` (ref :641):
-  spatial-hash cells of side = detection radius, points sorted by cell key,
-  per-point candidate lookup over the 27 neighbor cells by ``searchsorted``
-  into the sorted keys with a fixed ``cell_capacity`` read per cell. O(N·27·K)
-  with static shapes; hash collisions only add candidates (rejected by the
-  exact distance test), never lose pairs. Capacity overflow (a cell holding
-  more than ``cell_capacity`` points, or more than ``max_contacts`` true
-  pairs) is surfaced via :meth:`detection_diagnostics`.
+  a DENSE cell grid. Points are binned into (Gx, Gy, Gz, K) slots with one
+  unique-index row scatter; every candidate pair is produced by comparing
+  the slot block against 13 half-stencil neighbor blocks + the in-cell
+  upper triangle, all materialized by STATIC padded slices — zero
+  data-dependent gathers (XLA gathers cost a ~2 ms fixed floor on TPU and
+  scale badly with row width; the previous hash-grid fetch was 470 ms of a
+  510 ms step at N=10.7k). Per-slot candidate lists are compacted to a
+  fixed ``slot_contact_capacity`` by cumsum-rank masked reductions (pure
+  VPU math), then brought to particle-major layout with a single narrow
+  row gather. Contacts stay in the padded (N, K2) layout — no global
+  ``nonzero`` compaction at all (``nonzero`` costs ~3 ms fixed + ~8 ms/M
+  on TPU).
+* ``sweep`` — sort-and-window sweep-and-prune along the longest axis.
 
-All energy/gradient/hessian terms are batched over the contact axis and
-masked.
+Contact jacobians are never materialized. Every contact row of the LBS
+jacobian has the Kronecker structure ``J_i = w_i ⊗ [x_i; 1] ⊗ I₃`` (ref
+``precomputed.py:41-157`` builds exactly these triplets), so a contact is
+fully described by the per-side factors ``w`` (H,) and ``[x;1]`` (4,).
+Offsets, gradient pullback, the reduced Hessian J^T H J, and the Armijo
+step bounds are all computed from those factors with dense matmuls on the
+MXU — zero gathers inside the Newton loop. See :meth:`pullback_gradient`,
+:meth:`reduced_hessian`, :meth:`get_bounds_q`.
 
 Energy model (ref :159-254): quadratic-log barrier on the normal gap
 ``E = −(d̂−1)² log(d̂−rp)`` active for ``rp < d̂ ≤ 1``, plus regularized
@@ -29,7 +38,7 @@ stick-slip Coulomb friction on the tangential slip velocity.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -39,23 +48,52 @@ __all__ = ["Collision", "Contacts"]
 
 NULL = -1
 
+# lexicographically-positive half stencil: each unordered cross-cell pair
+# of adjacent cells appears exactly once
+_HALF_OFFSETS = [(0, 0, 1), (0, 1, -1), (0, 1, 0), (0, 1, 1),
+                 (1, -1, -1), (1, -1, 0), (1, -1, 1),
+                 (1, 0, -1), (1, 0, 0), (1, 0, 1),
+                 (1, 1, -1), (1, 1, 0), (1, 1, 1)]
+
 
 class Contacts(NamedTuple):
-    """Fixed-capacity contact buffer (all shapes (C,) or (C, 3))."""
+    """Fixed-capacity contact buffer (all shapes (C,) or (C, 3)).
+
+    ``wa``/``wb`` (C, H) and ``xa``/``xb`` (C, 4) are the per-side LBS
+    factors (q-form); ``None`` when detection ran without skinning weights
+    (then ``dx0`` (N, 3) is kept for the legacy gather-based evaluation).
+    """
     indices_a: jnp.ndarray      # int32, NULL for static/invalid
     indices_b: jnp.ndarray
     normals: jnp.ndarray        # (C, 3)
     kinematic_gaps: jnp.ndarray  # (C, 3)
     valid: jnp.ndarray          # bool (C,)
-    dx0: jnp.ndarray            # (N, 3) displacements at start of timestep
+    dx0: Optional[jnp.ndarray]  # (N, 3) displacements at detection (legacy)
+    wa: Optional[jnp.ndarray]   # (C, H) side-a weights (0 for static/invalid)
+    wb: Optional[jnp.ndarray]
+    xa: Optional[jnp.ndarray]   # (C, 4) homogeneous rest coords
+    xb: Optional[jnp.ndarray]
+
+
+def _q_factor(w, x):
+    """(C, H), (C, 4) → flattened q = w ⊗ x of shape (C, 4H)."""
+    return (w[:, :, None] * x[:, None, :]).reshape(w.shape[0], -1)
+
+
+def _z_mat(zq):
+    """Raw-basis DOF vector (12H,) → (4H, 3) matrix Z with
+    delta (C, 3) = q (C, 4H) @ Z; DOF layout z[(h, r, s)] (ref
+    ``precomputed.py`` lbs_matrix: column 12h + 4r + s)."""
+    h = zq.shape[0] // 12
+    return jnp.transpose(zq.reshape(h, 3, 4), (0, 2, 1)).reshape(4 * h, 3)
 
 
 @jax.tree_util.register_pytree_node_class
 class Collision:
     """Scene-wide particle contact. Ref :578.
 
-    Pytree: the float parameters are children (so scene batches may vary
-    them); ``max_contacts`` (a buffer capacity) and ``bounds`` are static aux.
+    Pytree: float parameters and the grid origin are children (so scene
+    batches may vary them); capacities and grid dims are static aux.
     """
 
     def __init__(self, dt, collision_particle_radius=0.1, detection_ratio=1.5,
@@ -64,7 +102,8 @@ class Collision:
                  collision_penalty_stiffness=100.0,
                  friction_regularization=0.1, friction_fluid=0.1, friction=0.5,
                  max_contacting_pairs=10000, bounds=True,
-                 broad_phase="dense", cell_capacity=16, sweep_window=128):
+                 broad_phase="dense", cell_capacity=16, sweep_window=128,
+                 slot_contact_capacity=16):
         self.dt = float(dt)
         self.collision_radius = float(collision_particle_radius)
         self.collision_detection_ratio = float(detection_ratio)
@@ -81,6 +120,10 @@ class Collision:
         self.broad_phase = broad_phase
         self.cell_capacity = int(cell_capacity)
         self.sweep_window = int(sweep_window)
+        self.slot_contact_capacity = int(slot_contact_capacity)
+        self.grid_dims = None           # (Gx, Gy, Gz) static
+        self.grid_origin = None         # (3,) array child
+        self.grid_cell = None           # float cell side
 
     def tree_flatten(self):
         children = (self.dt, self.collision_radius,
@@ -88,9 +131,11 @@ class Collision:
                     self.collision_barrier_ratio,
                     self.ignore_self_collision_ratio,
                     self.collision_penalty_stiffness,
-                    self.friction_reg, self.friction_fluid, self.friction)
+                    self.friction_reg, self.friction_fluid, self.friction,
+                    self.grid_origin, self.grid_cell)
         return children, (self.max_contacts, self.bounds, self.broad_phase,
-                          self.cell_capacity, self.sweep_window)
+                          self.cell_capacity, self.sweep_window,
+                          self.slot_contact_capacity, self.grid_dims)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -98,138 +143,275 @@ class Collision:
         (obj.dt, obj.collision_radius, obj.collision_detection_ratio,
          obj.collision_barrier_ratio, obj.ignore_self_collision_ratio,
          obj.collision_penalty_stiffness, obj.friction_reg,
-         obj.friction_fluid, obj.friction) = children
-        if len(aux) == 4:  # legacy aux layout
+         obj.friction_fluid, obj.friction) = children[:9]
+        obj.grid_origin = children[9] if len(children) > 9 else None
+        obj.grid_cell = children[10] if len(children) > 10 else None
+        obj.grid_dims = None
+        obj.slot_contact_capacity = 16
+        if len(aux) == 4:  # legacy aux layouts
             (obj.max_contacts, obj.bounds, obj.broad_phase,
              obj.cell_capacity) = aux
             obj.sweep_window = 128
-        else:
+        elif len(aux) == 5:
             (obj.max_contacts, obj.bounds, obj.broad_phase,
              obj.cell_capacity, obj.sweep_window) = aux
+        else:
+            (obj.max_contacts, obj.bounds, obj.broad_phase,
+             obj.cell_capacity, obj.sweep_window,
+             obj.slot_contact_capacity, obj.grid_dims) = aux
         return obj
 
-    # -- broad phases --
-    def _pair_mask_of(self, ca, cb, cur, cp_x0, cp_obj_ids, radius):
-        """Exact narrow test on candidate pairs: within detection radius,
-        deduped (a < b), and not self-collision-immune.
+    # -- grid configuration (host-side, static shapes) --
+    @property
+    def detection_radius(self):
+        return 2.0 * self.collision_radius * self.collision_detection_ratio
 
-        NOTE the immune test compares a SQUARED rest distance against the
-        linear ``collision_radius * ignore_self_collision_ratio`` — this is
-        deliberately faithful to the reference kernel
-        (ref collisions.py:66-72: ``wp.length_sq(...) <
-        self_collision_immune_radius`` with ``immune_radius = radius *
-        ratio``, :679), whose huge default ratio (1e5) effectively disables
-        self-collisions; a tuned ratio inherits the reference's
-        dimensional quirk."""
+    def configure_grid(self, rest_pts, obj_ids=None, margin=0.5,
+                       mem_budget=1.5e9, auto_capacities=True):
+        """Fix the dense cell grid's static geometry from the REST
+        configuration (host-side, once). The grid must be configured before
+        a ``broad_phase='grid'`` detection can be traced.
+
+        The cell side is chosen by a small cost search: candidates from the
+        detection radius upward, scored by the narrow-phase pair-test count
+        ``num_cells·K·14K`` (K = pow2-rounded 1.5× the measured max cell
+        occupancy) subject to the ``mem_budget`` on the candidate-table
+        bytes. Small cells pay for empty cells, large cells pay K² — the
+        measured occupancy resolves the trade per scene. Points that drift
+        outside the grid during simulation are clamped into the boundary
+        cells — clamping is a per-axis contraction, so close pairs stay in
+        adjacent cells and correctness is preserved; the extra boundary-cell
+        load is surfaced via :meth:`detection_diagnostics`.
+
+        Dims are rounded up to a multiple of 4 so scenes with near-equal
+        extents get identical static shapes (scene-batch stacking).
+        """
+        pts = np.asarray(rest_pts, np.float32)
+        radius = self.detection_radius
+        lo0 = pts.min(0)
+        hi0 = pts.max(0)
+        ext = np.maximum(hi0 - lo0, 1e-6)
+        slack = np.maximum(margin * ext, 2.0 * radius)
+        lo = lo0 - slack
+        hi = hi0 + slack
+
+        def measure(cell):
+            dims = np.ceil((hi - lo) / cell).astype(np.int64)
+            dims = (np.ceil(dims / 4.0) * 4).astype(np.int64)
+            cc = np.clip(np.floor((pts - lo) / cell).astype(np.int64),
+                         0, dims - 1)
+            lin = (cc[:, 0] * dims[1] + cc[:, 1]) * dims[2] + cc[:, 2]
+            occ = np.bincount(lin).max() if lin.size else 1
+            k = int(min(128, max(8, 1 << int(np.ceil(np.log2(1.5 * occ))))))
+            num_cells = int(dims.prod())
+            tests = num_cells * k * 14 * k
+            table_bytes = 14 * num_cells * k * k * 4
+            return dims, k, tests, table_bytes
+
+        best = None
+        for i in range(10):
+            cell = radius * (1.26 ** i)
+            dims, k, tests, table_bytes = measure(cell)
+            fits = table_bytes <= mem_budget
+            score = (not fits, tests if fits else table_bytes)
+            if best is None or score < best[0]:
+                best = (score, cell, dims, k)
+            if int(dims.prod()) <= 4096:
+                break
+        _, cell, dims, k = best
+        self.grid_dims = tuple(int(d) for d in dims)
+        self.grid_origin = jnp.asarray(lo, jnp.float32)
+        self.grid_cell = float(cell)
+        if auto_capacities:
+            self.cell_capacity = k
+            cc = np.clip(np.floor((pts - lo) / cell).astype(np.int64),
+                         0, dims - 1)
+            try:
+                from scipy.spatial import cKDTree
+                # exact rest-time one-sided contact counts under the SAME
+                # half-stencil ownership rule the kernel uses: in-cell pairs
+                # belong to the lower index; cross-cell pairs to the cell
+                # whose offset to the partner is lexicographically positive
+                pairs = cKDTree(pts).query_pairs(radius,
+                                                 output_type="ndarray")
+                if pairs.size:
+                    thr = (self.collision_radius
+                           * self.ignore_self_collision_ratio)
+                    d2 = np.sum((pts[pairs[:, 0]] - pts[pairs[:, 1]]) ** 2,
+                                axis=1)
+                    if obj_ids is not None:
+                        oid = np.asarray(obj_ids)
+                        immune = ((oid[pairs[:, 0]] == oid[pairs[:, 1]])
+                                  & (d2 < thr))
+                    else:
+                        immune = d2 < thr
+                    pairs = pairs[~immune]
+                if pairs.size:
+                    ci = cc[pairs[:, 0]]
+                    cj = cc[pairs[:, 1]]
+                    dcell = cj - ci
+                    lexpos = ((dcell[:, 0] > 0)
+                              | ((dcell[:, 0] == 0)
+                                 & ((dcell[:, 1] > 0)
+                                    | ((dcell[:, 1] == 0)
+                                       & (dcell[:, 2] > 0)))))
+                    same = (dcell == 0).all(axis=1)
+                    owner = np.where(same | lexpos, pairs[:, 0], pairs[:, 1])
+                    per_owner = np.bincount(owner).max()
+                else:
+                    per_owner = 0
+                self.slot_contact_capacity = int(
+                    min(128, max(8, 1 << int(np.ceil(np.log2(
+                        1.5 * max(per_owner, 1)))))))
+            except Exception:
+                pass
+        return self
+
+    # -- narrow-phase helpers --
+    def _narrow_mask(self, d2, rest_d2, obj_a, obj_b):
+        radius = self.detection_radius
+        immune = (obj_a == obj_b) & (
+            rest_d2 < self.collision_radius * self.ignore_self_collision_ratio)
+        return (d2 <= radius * radius) & ~immune
+
+    def _pair_mask_of(self, ca, cb, cur, cp_x0, cp_obj_ids, radius):
+        """Exact narrow test on candidate (ca, cb) index pairs, deduped
+        (a < b). NOTE the immune test compares a SQUARED rest distance
+        against the linear ``collision_radius * ignore_self_collision_ratio``
+        — deliberately faithful to the reference kernel (ref :66-72, :679),
+        whose huge default ratio (1e5) effectively disables self-collision;
+        a tuned ratio inherits the reference's dimensional quirk."""
         d2 = jnp.sum((cur[ca] - cur[cb]) ** 2, axis=-1)
         rest_d2 = jnp.sum((cp_x0[ca] - cp_x0[cb]) ** 2, axis=-1)
         immune = (cp_obj_ids[ca] == cp_obj_ids[cb]) & (
             rest_d2 < self.collision_radius * self.ignore_self_collision_ratio)
         return (ca < cb) & (d2 <= radius * radius) & ~immune
 
-    @staticmethod
-    def _hash_cells(cells, table_size):
-        """Spatial hash of int32 cell coords → bucket in [0, table_size)."""
-        h = (cells[..., 0] * jnp.int32(73856093)
-             ^ cells[..., 1] * jnp.int32(19349663)
-             ^ cells[..., 2] * jnp.int32(83492791))
-        return h & jnp.int32(table_size - 1)
-
-    def _grid_candidates(self, cur, radius, cp_x0=None, cp_obj_ids=None):
-        """Grid broad phase: candidate pairs (ca, cb) with a coarse validity
-        mask. Returns (ca, cb, cand_ok, bucket_load) all of static shape
-        (N·27·K,) / (N, 27).
-
-        TPU layout note: each neighbor-cell lookup is a CONTIGUOUS run of
-        the cell-key-sorted point array, so candidate data is fetched with
-        per-(point, cell) row-slice gathers of a packed (K, 8) block —
-        ~N·27 row fetches — instead of N·27·K element gathers (XLA scalar
-        gathers are latency-bound at ~10 ns/element; this was 450 ms of a
-        510 ms sim step at N=10.7k). When ``cp_x0``/``cp_obj_ids`` are
-        given, the narrow-phase inputs ride in the same packed fetch and
-        the returned mask INCLUDES the exact narrow test."""
+    # -- dense cell-grid broad phase --
+    def _cellgrid_pairs(self, cur, cp_x0, cp_obj_ids, cp_is_static,
+                        with_diag=False):
+        """Returns particle-major padded pairs: ``(ia, ib, valid)`` of shape
+        (N*K2,) plus a diagnostics dict. Zero data-dependent gathers except
+        one narrow (N, K2+2) row gather at the end."""
+        if self.grid_dims is None:
+            if isinstance(cur, jax.core.Tracer):
+                raise RuntimeError(
+                    "grid broad phase used under jit before configure_grid();"
+                    " call Collision.configure_grid(rest_pts) first")
+            self.configure_grid(np.asarray(cp_x0 + 0 * cur),
+                                auto_capacities=False)
         n = cur.shape[0]
+        gx, gy, gz = self.grid_dims
         k = self.cell_capacity
-        table_size = 1 << max(int(np.ceil(np.log2(max(2 * n, 64)))), 6)
+        k2 = self.slot_contact_capacity
+        num_cells = gx * gy * gz
+        num_slots = num_cells * k
+        f32 = cur.dtype
 
-        cells = jnp.floor(cur / radius).astype(jnp.int32)
-        key = self._hash_cells(cells, table_size)
-        order = jnp.argsort(key).astype(jnp.int32)
-        skey = key[order]
+        cellf = (cur - self.grid_origin) / self.grid_cell
+        cell = jnp.clip(cellf.astype(jnp.int32), 0,
+                        jnp.asarray([gx - 1, gy - 1, gz - 1], jnp.int32))
+        oob = jnp.sum(((cellf < 0) | (cellf >= jnp.asarray(
+            [gx, gy, gz], f32))).any(axis=1).astype(jnp.int32))
+        lin = (cell[:, 0] * gy + cell[:, 1]) * gz + cell[:, 2]
 
-        offs = jnp.asarray(
-            [(i, j, l) for i in (-1, 0, 1) for j in (-1, 0, 1)
-             for l in (-1, 0, 1)], dtype=jnp.int32)                 # (27, 3)
-        nkeys = self._hash_cells(cells[:, None, :] + offs[None], table_size)
-        # two neighbor cells hashing to one bucket would return the same run
-        # twice — keep only the first lookup per distinct bucket key
-        dup = jnp.triu(nkeys[:, :, None] == nkeys[:, None, :], k=1)
-        first_use = ~jnp.any(dup, axis=1)                            # (N, 27)
+        order = jnp.argsort(lin).astype(jnp.int32)
+        lin_s = lin[order]
+        rank = (jnp.arange(n, dtype=jnp.int32)
+                - jnp.searchsorted(lin_s, lin_s, side="left"
+                                   ).astype(jnp.int32))
+        in_cap = rank < k
+        slot = jnp.where(in_cap, lin_s * k + rank, num_slots)
+        dropped = jnp.sum((~in_cap).astype(jnp.int32))
 
-        start = jnp.searchsorted(skey, nkeys.reshape(-1),
-                                 side="left").reshape(n, 27).astype(jnp.int32)
-        end = jnp.searchsorted(skey, nkeys.reshape(-1),
-                               side="right").reshape(n, 27).astype(jnp.int32)
-        bucket_load = jnp.where(first_use, end - start, 0)
-
-        in_run = (start[..., None] + jnp.arange(k, dtype=jnp.int32)
-                  < jnp.minimum(end, start + k)[..., None])          # (N,27,K)
-
-        # pack per-point data in sorted order: [cur(3) | x0(3) | ids | idx]
-        if cp_x0 is None:
-            packed = jnp.concatenate(
-                [cur[order], order[:, None].astype(cur.dtype)], axis=1)
-        else:
-            packed = jnp.concatenate(
-                [cur[order], cp_x0[order],
-                 cp_obj_ids[order][:, None].astype(cur.dtype),
-                 order[:, None].astype(cur.dtype)], axis=1)
-        d = packed.shape[1]
+        # packed channels: [cur(3), x0(3), meta, idx+1]; empty slots are all
+        # zero → idx channel 0 marks invalid
+        meta = (cp_obj_ids.astype(f32) * 2.0
+                + cp_is_static.astype(f32))[order]
         packed = jnp.concatenate(
-            [packed, jnp.full((k, d), jnp.inf, packed.dtype)], axis=0)
-        starts_c = jnp.clip(start.reshape(-1), 0, n)                 # (N*27,)
-        blocks = jax.vmap(
-            lambda s: jax.lax.dynamic_slice_in_dim(packed, s, k, 0)
-        )(starts_c).reshape(n, 27, k, d)
+            [cur[order], cp_x0[order], meta[:, None],
+             (order + 1).astype(f32)[:, None]], axis=1)
+        grid = jnp.zeros((num_slots + 1, 8), f32).at[slot].set(
+            packed, unique_indices=True, mode="drop")
+        g3 = grid[:-1].reshape(gx, gy, gz, k, 8)
+        gp = jnp.pad(g3, ((1, 1), (1, 1), (1, 1), (0, 0), (0, 0)))
 
-        cb = blocks[..., -1]
-        cb = jnp.where(jnp.isfinite(cb), cb, -1).astype(jnp.int32)
-        ca = jnp.broadcast_to(
-            jnp.arange(n, dtype=jnp.int32)[:, None, None], cb.shape)
-        cand_ok = in_run & first_use[..., None] & (cb >= 0)
+        c_pos = g3[..., 0:3]
+        c_x0 = g3[..., 3:6]
+        c_meta = g3[..., 6]
+        c_idx = g3[..., 7]
+        c_ok = c_idx > 0.5
 
-        if cp_x0 is not None:
-            pos_b = blocks[..., 0:3]
-            x0_b = blocks[..., 3:6]
-            ids_b = blocks[..., 6]
-            d2 = jnp.sum((cur[:, None, None, :] - pos_b) ** 2, axis=-1)
-            rest_d2 = jnp.sum((cp_x0[:, None, None, :] - x0_b) ** 2, axis=-1)
-            immune = (cp_obj_ids[:, None, None] == ids_b) & (
-                rest_d2 < self.collision_radius
-                * self.ignore_self_collision_ratio)
-            mask = (cand_ok & (ca < cb) & (d2 <= radius * radius) & ~immune)
-            return (ca.reshape(-1), cb.reshape(-1), mask.reshape(-1),
-                    bucket_load)
-        return (ca.reshape(-1), cb.reshape(-1), cand_ok.reshape(-1),
-                bucket_load)
+        # Narrow phase, slot-major: each cell's K slots against the cell's
+        # own upper triangle + 13 half-stencil neighbor blocks (static
+        # slices — zero gathers). Masked partner ids (+1; 0 = miss) are
+        # written straight into a (slots, 14K) table; counts are EXACT (no
+        # per-block caps). The compaction to (N, K2) then runs
+        # particle-major after one row gather, so it scales with N rather
+        # than with the mostly empty slot count.
+        def masked_partners(nb, tri_mask=None):
+            """nb (..., K, 8) candidate block → (..., K_slot, K_partner)
+            partner ids+1 masked by the exact narrow test (0 = miss)."""
+            n_ok = nb[..., 7] > 0.5
+            d2 = jnp.sum((c_pos[..., :, None, :]
+                          - nb[..., None, :, 0:3]) ** 2, -1)
+            rest2 = jnp.sum((c_x0[..., :, None, :]
+                             - nb[..., None, :, 3:6]) ** 2, -1)
+            m = (c_ok[..., :, None] & n_ok[..., None, :]
+                 & self._narrow_mask(d2, rest2, (c_meta // 2)[..., :, None],
+                                     (nb[..., 6] // 2)[..., None, :]))
+            if tri_mask is not None:
+                m = m & tri_mask
+            pid = nb[..., 7].astype(jnp.int32)
+            return jnp.where(m, pid[..., None, :], 0)
 
+        tri = (jnp.arange(k)[:, None] < jnp.arange(k)[None, :])
+        blocks = [masked_partners(g3, tri_mask=tri)]        # in-cell
+        for (ox, oy, oz) in _HALF_OFFSETS:
+            blocks.append(masked_partners(
+                gp[1 + ox:1 + ox + gx, 1 + oy:1 + oy + gy,
+                   1 + oz:1 + oz + gz]))
+
+        nblk = len(blocks)                                  # 14
+        w2 = nblk * k
+        table = jnp.stack(blocks, -2).reshape(num_slots, w2)
+        table = jnp.concatenate(
+            [table, jnp.zeros((1, w2), jnp.int32)], axis=0)
+        ids_p = table[slot]                                 # (N, 14K) gather
+        valid1 = ids_p > 0
+        cnt_true = jnp.sum(valid1.astype(jnp.int32), axis=1)  # (N,) exact
+        num_pairs = jnp.sum(cnt_true)
+        slot_overflow = jnp.max(cnt_true) > k2
+
+        rank2 = jnp.cumsum(valid1.astype(jnp.int32), axis=1)
+        cols = [jnp.sum(jnp.where(valid1 & (rank2 == r + 1), ids_p, 0),
+                        axis=1) for r in range(k2)]
+        ib = jnp.stack(cols, axis=1) - 1                    # (N, K2)
+        valid = (jnp.arange(k2, dtype=jnp.int32)[None, :]
+                 < jnp.minimum(cnt_true, k2)[:, None])
+        ia = jnp.broadcast_to(order[:, None], (n, k2))
+
+        diag = {"num_pairs": num_pairs,
+                "contacts_overflow": slot_overflow,
+                "slot_overflow": slot_overflow,
+                "max_slot_contacts": jnp.max(cnt_true),
+                "cell_overflow": dropped > 0,
+                "dropped_points": dropped,
+                "out_of_bounds": oob}
+        return (ia.reshape(-1), jnp.where(valid, ib, 0).reshape(-1),
+                valid.reshape(-1), diag)
+
+    # -- sweep-and-prune broad phase --
     def _sweep_candidates(self, cur, cp_x0, cp_obj_ids, radius):
-        """Sweep-and-prune broad phase — the TPU-fast path.
-
-        Sort points along the longest axis once; every candidate pair is a
-        (i, i+d) pair of the SORTED order with d in [1, sweep_window], built
-        by pure array shifts — zero data-dependent gathers (the grid broad
-        phase's per-candidate position gathers are latency-bound on TPU at
-        ~10 ns/element; measured 450 ms of a 510 ms step at N=10.7k).
-        Window overflow (more than sweep_window sorted neighbors within the
-        detection radius along the sweep axis) is surfaced via
-        ``detection_diagnostics`` and grows the window.
+        """Sort points along the longest axis once; every candidate pair is
+        a (i, i+d) pair of the SORTED order with d in [1, sweep_window],
+        built by pure array shifts — zero data-dependent gathers. Window
+        overflow is surfaced via ``detection_diagnostics``.
 
         Returns (ca, cb, mask (N, W), window_load (N,)) with ca/cb ORIGINAL
         point indices of shape (N, W)."""
         n = cur.shape[0]
         w = self.sweep_window
-        # longest-extent axis (traced): select key by one-hot projection
         ext = jnp.max(cur, axis=0) - jnp.min(cur, axis=0)
         key = cur @ jax.nn.one_hot(jnp.argmax(ext), 3, dtype=cur.dtype)
         order = jnp.argsort(key).astype(jnp.int32)
@@ -246,16 +428,18 @@ class Collision:
         idsp = pad(ids_s, -2)
         orderp = pad(order, -1)
 
-        # windows as explicit static shifts (slices — guaranteed not to
-        # lower as data-dependent gathers)
+        # one structured (i, i+d) gather per channel — NOT w separate
+        # slices, whose op count makes XLA compile time explode at large w
+        idx_b = (jnp.arange(n, dtype=jnp.int32)[:, None]
+                 + jnp.arange(1, w + 1, dtype=jnp.int32)[None, :])
+
         def windows(a):
-            return jnp.stack([a[d:d + n] for d in range(1, w + 1)], axis=1)
+            return a[idx_b]
 
         pos_b = windows(curp)                                 # (N, W, 3)
         key_b = windows(keyp)                                 # (N, W)
         x0_b = windows(x0p)
         ids_b = windows(idsp)
-        idx_b = jnp.arange(n)[:, None] + jnp.arange(1, w + 1)[None, :]
         in_range = (idx_b < n) & (key_b - key_s[:, None] <= radius)
 
         d2 = jnp.sum((cur_s[:, None] - pos_b) ** 2, axis=-1)
@@ -266,7 +450,6 @@ class Collision:
 
         window_load = jnp.sum(
             (key_b - key_s[:, None] <= radius) & (idx_b < n), axis=-1)
-        # +count of in-radius neighbors BEYOND the window (overflow signal)
         beyond = jnp.searchsorted(key_s, key_s + radius, side="right") \
             - jnp.arange(n) - 1
         window_load = jnp.maximum(window_load, beyond)
@@ -274,82 +457,89 @@ class Collision:
         cb = windows(orderp)
         return ca, cb, mask, window_load
 
-    def _candidate_pairs(self, cur, cp_x0, cp_obj_ids):
-        """Dispatch on ``broad_phase``; returns (ca, cb, pair_mask,
-        load or None) with flat (C,) candidate arrays."""
+    def _flat_pairs(self, cur, cp_x0, cp_obj_ids, cp_is_static):
+        """Dispatch on ``broad_phase``; returns (ia, ib, valid, diag) flat
+        particle-index pair arrays of static shape."""
         n = cur.shape[0]
-        radius = 2.0 * self.collision_radius * self.collision_detection_ratio
+        radius = self.detection_radius
+        if self.broad_phase == "grid":
+            return self._cellgrid_pairs(cur, cp_x0, cp_obj_ids, cp_is_static)
         if self.broad_phase == "sweep":
             ca, cb, mask, load = self._sweep_candidates(cur, cp_x0,
                                                         cp_obj_ids, radius)
-            return (ca.reshape(-1), cb.reshape(-1), mask.reshape(-1), load)
-        if self.broad_phase == "grid":
-            ca, cb, mask, bucket_load = self._grid_candidates(
-                cur, radius, cp_x0=cp_x0, cp_obj_ids=cp_obj_ids)
-            return ca, cb, mask, bucket_load
-        iu = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0).reshape(-1)
-        ju = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1).reshape(-1)
-        mask = self._pair_mask_of(iu, ju, cur, cp_x0, cp_obj_ids, radius)
-        return iu, ju, mask, None
+            num_pairs = jnp.sum(mask.astype(jnp.int32))
+            diag = {"num_pairs": num_pairs,
+                    "contacts_overflow": num_pairs > self.max_contacts,
+                    "max_window_load": jnp.max(load),
+                    "window_overflow": jnp.max(load) > self.sweep_window}
+            ca, cb, mask = (a.reshape(-1) for a in (ca, cb, mask))
+        else:
+            ca = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0).reshape(-1)
+            cb = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1).reshape(-1)
+            mask = self._pair_mask_of(ca, cb, cur, cp_x0, cp_obj_ids, radius)
+            num_pairs = jnp.sum(mask.astype(jnp.int32))
+            diag = {"num_pairs": num_pairs,
+                    "contacts_overflow": num_pairs > self.max_contacts}
+        flat_idx = jnp.nonzero(mask, size=self.max_contacts,
+                               fill_value=-1)[0]
+        valid = flat_idx >= 0
+        safe = jnp.where(valid, flat_idx, 0)
+        return ca[safe], cb[safe], valid, diag
 
-    def detection_diagnostics(self, cp_dx, cp_x0, cp_obj_ids):
-        """Capacity-overflow surfacing (jittable). Returns a dict with
-        ``num_pairs`` (true pair count), ``contacts_overflow`` (true pairs
-        exceed ``max_contacts`` — pairs were silently dropped), and for the
-        grid broad phase ``max_bucket_load`` / ``cell_overflow`` (a bucket
-        held more than ``cell_capacity`` points — candidates were dropped)."""
+    def detection_diagnostics(self, cp_dx, cp_x0, cp_obj_ids,
+                              cp_is_static=None):
+        """Capacity-overflow surfacing (jittable): ``num_pairs`` (true pair
+        count), ``contacts_overflow`` (pairs were dropped), and per-phase
+        keys — grid: ``slot_overflow``/``max_slot_contacts`` (a particle's
+        one-sided contact list exceeded ``slot_contact_capacity``),
+        ``cell_overflow``/``dropped_points`` (a cell held more than
+        ``cell_capacity`` points), ``out_of_bounds`` (points clamped into
+        boundary cells); sweep: ``max_window_load``/``window_overflow``."""
+        n = cp_x0.shape[0]
+        if cp_is_static is None:
+            cp_is_static = jnp.zeros((n,), dtype=jnp.int32)
         cur = cp_dx + cp_x0
-        _, _, mask, load = self._candidate_pairs(cur, cp_x0, cp_obj_ids)
-        num_pairs = jnp.sum(mask.astype(jnp.int32))
-        out = {"num_pairs": num_pairs,
-               "contacts_overflow": num_pairs > self.max_contacts}
-        if self.broad_phase == "grid":
-            out["max_bucket_load"] = jnp.max(load)
-            out["cell_overflow"] = jnp.max(load) > self.cell_capacity
-        elif self.broad_phase == "sweep":
-            out["max_window_load"] = jnp.max(load)
-            out["window_overflow"] = jnp.max(load) > self.sweep_window
-        return out
+        _, _, _, diag = self._flat_pairs(cur, cp_x0, cp_obj_ids, cp_is_static)
+        return diag
+
+    # -- row fetch: one-hot matmul vs row gather --
+    @staticmethod
+    def _fetch_rows(table, idx):
+        """``table[idx]`` with the strategy chosen by size: an MXU one-hot
+        matmul when the (rows × table) product is small enough (XLA row
+        gathers are latency-bound at ~100-400 ns/row on TPU; XLA fuses the
+        iota-compare one-hot into the matmul so it streams at MXU speed).
+        TPU only — other backends materialize the (C, N) one-hot, which is
+        catastrophic at scale; they always take the plain gather."""
+        c = idx.shape[0]
+        nrows = table.shape[0]
+        # MAC count of the one-hot matmul; ~2.5e11 ≈ a few ms on the MXU,
+        # the break-even against a c-row latency-bound gather
+        if (jax.default_backend() == "tpu"
+                and c * nrows * (table.shape[1] + 2) <= 2.5e11):
+            oh = (idx[:, None] == jnp.arange(nrows, dtype=idx.dtype)[None, :]
+                  ).astype(table.dtype)
+            return oh @ table
+        return table[idx]
 
     # -- detection (ref :643) --
-    def detect_collisions(self, cp_dx, cp_x0, cp_obj_ids, cp_is_static=None):
+    def detect_collisions(self, cp_dx, cp_x0, cp_obj_ids, cp_is_static=None,
+                          weights=None):
         """Find contact pairs. Returns a :class:`Contacts` buffer (jittable).
 
         cp_dx (N, 3) current displacements; cp_x0 (N, 3) rest positions;
-        cp_obj_ids (N,) int; cp_is_static (N,) int {0,1}.
+        cp_obj_ids (N,) int; cp_is_static (N,) int {0,1}; weights (N, H)
+        global LBS skinning weights — when given, contacts carry the q-form
+        factors and the Newton loop runs gather-free.
         """
         n = cp_x0.shape[0]
         if cp_is_static is None:
             cp_is_static = jnp.zeros((n,), dtype=jnp.int32)
         cur = cp_dx + cp_x0
 
-        ca, cb, pair_mask, _ = self._candidate_pairs(cur, cp_x0, cp_obj_ids)
-        row_w = {"sweep": self.sweep_window,
-                 "grid": 27 * self.cell_capacity}.get(self.broad_phase, 0)
-        if row_w > 64:
-            # row-compact the (N, W) candidate window to ≤64 true contacts
-            # per particle before the global nonzero, so wide windows don't
-            # inflate the extraction cost (per-particle true contact counts
-            # are tiny; >64 would mean interpenetration far past the
-            # barrier). Both broad phases emit ca constant per row.
-            w = row_w
-            k2 = 64
-            m2 = pair_mask.reshape(n, w)
-            key = jnp.where(m2,
-                            jax.lax.broadcasted_iota(jnp.int32, (n, w), 1),
-                            jnp.int32(w))
-            key_s, cb_s = jax.lax.sort(
-                (key, cb.reshape(n, w)), dimension=-1, num_keys=1)
-            pair_mask = (key_s[:, :k2] < w).reshape(-1)
-            cb = cb_s[:, :k2].reshape(-1)
-            ca = jnp.broadcast_to(
-                ca.reshape(n, w)[:, :1], (n, k2)).reshape(-1)
-        flat_idx = jnp.nonzero(pair_mask, size=self.max_contacts,
-                               fill_value=-1)[0]
-        valid = flat_idx >= 0
-        safe = jnp.where(valid, flat_idx, 0)
-        ia = ca[safe]
-        ib = cb[safe]
+        ia, ib, valid, _ = self._flat_pairs(cur, cp_x0, cp_obj_ids,
+                                            cp_is_static)
+
         # canonicalize: a static partner always sits on the b side — the
         # barrier's target distance rc and the offset formula are asymmetric
         # in (a, b) (rc halves for static contacts, ref :107-157), and broad
@@ -357,57 +547,67 @@ class Collision:
         swap = (cp_is_static[ia] == 1) & (cp_is_static[ib] == 0)
         ia, ib = (jnp.where(swap, ib, ia), jnp.where(swap, ia, ib))
 
-        pos_a = cur[ia]
-        pos_b = cur[ib]
+        # one combined per-side fetch: [cur(3), x0(3), static, w(H)?]
+        chans = [cur, cp_x0, cp_is_static.astype(cur.dtype)[:, None]]
+        if weights is not None:
+            chans.append(weights.astype(cur.dtype))
+        table = jnp.concatenate(chans, axis=1)
+        both = self._fetch_rows(table, jnp.concatenate([ia, ib]))
+        ra, rb = both[:ia.shape[0]], both[ia.shape[0]:]
+
+        pos_a, pos_b = ra[:, 0:3], rb[:, 0:3]
+        stat_a = ra[:, 6] > 0.5
+        stat_b = rb[:, 6] > 0.5
         diff = pos_a - pos_b
         nrm = diff / jnp.clip(jnp.linalg.norm(diff, axis=-1, keepdims=True),
                               1e-12, None)
         # pos_delta is zero at detection time (ref :671: pos_delta = zeros)
         gaps = jnp.sum(diff * nrm, axis=-1, keepdims=True) * nrm
 
-        indices_a = jnp.where(valid & (cp_is_static[ia] == 0), ia, NULL)
-        indices_b = jnp.where(valid & (cp_is_static[ib] == 0), ib, NULL)
+        a_on = valid & ~stat_a
+        b_on = valid & ~stat_b
+        indices_a = jnp.where(a_on, ia, NULL)
+        indices_b = jnp.where(b_on, ib, NULL)
+        if weights is not None:
+            one = jnp.ones_like(ra[:, :1])
+            wa = jnp.where(a_on[:, None], ra[:, 7:], 0.0)
+            wb = jnp.where(b_on[:, None], rb[:, 7:], 0.0)
+            xa = jnp.concatenate([ra[:, 3:6], one], axis=1)
+            xb = jnp.concatenate([rb[:, 3:6], one], axis=1)
+            dx0 = None
+        else:
+            wa = wb = xa = xb = None
+            dx0 = cp_dx
         return Contacts(indices_a=indices_a, indices_b=indices_b, normals=nrm,
-                        kinematic_gaps=gaps, valid=valid, dx0=cp_dx)
-
-    # -- jacobian (ref :753) --
-    def calculate_jacobian(self, contacts: Contacts, B_dense, qr_tfm=None):
-        """Dense contact jacobian J = J_a − J_b of shape (3C, D), where rows
-        of J_a are the LBS rows of contact point a (zero for static/invalid).
-
-        Returns (J_post_qr, J_a_raw, J_b_raw) — J rotated into the post-QR
-        basis when qr_tfm given; J_a/J_b kept raw for the bounds clamp.
-        """
-        d = B_dense.shape[1]
-
-        def side(idx):
-            ok = idx != NULL
-            safe = jnp.where(ok, idx, 0)
-            rows = B_dense.reshape(-1, 3, d)[safe]       # (C, 3, D)
-            return jnp.where(ok[:, None, None], rows, 0.0)
-
-        ja = side(contacts.indices_a) * contacts.valid[:, None, None]
-        jb = side(contacts.indices_b) * contacts.valid[:, None, None]
-        j = (ja - jb).reshape(-1, d)
-        if qr_tfm is not None:
-            j = j @ qr_tfm
-        return j, ja.reshape(-1, d), jb.reshape(-1, d)
+                        kinematic_gaps=gaps, valid=valid, dx0=dx0,
+                        wa=wa, wb=wb, xa=xa, xb=xb)
 
     # -- per-contact geometry --
-    def _offset_rc(self, contacts: Contacts, dx):
-        """Relative offset (C,3) and target distance rc (C,1). Ref :107-157."""
+    def _offset_rc(self, contacts: Contacts, dx=None, zq=None):
+        """Relative offset (C,3) and target distance rc (C,1). Ref :107-157.
+
+        ``zq`` (D,) raw-basis DOF delta since detection (q-form, preferred:
+        two small matmuls, no gathers); ``dx`` (N, 3) current displacements
+        (legacy gather mode, requires ``contacts.dx0``)."""
         ia = contacts.indices_a
         ib = contacts.indices_b
-        sa = jnp.where(ia != NULL, ia, 0)
-        sb = jnp.where(ib != NULL, ib, 0)
-        delta_a = jnp.where((ia != NULL)[:, None], dx[sa] - contacts.dx0[sa], 0.0)
-        delta_b = jnp.where((ib != NULL)[:, None], dx[sb] - contacts.dx0[sb], 0.0)
+        if zq is not None:
+            z2 = _z_mat(zq)
+            delta_a = _q_factor(contacts.wa, contacts.xa) @ z2
+            delta_b = _q_factor(contacts.wb, contacts.xb) @ z2
+        else:
+            sa = jnp.where(ia != NULL, ia, 0)
+            sb = jnp.where(ib != NULL, ib, 0)
+            delta_a = jnp.where((ia != NULL)[:, None],
+                                dx[sa] - contacts.dx0[sa], 0.0)
+            delta_b = jnp.where((ib != NULL)[:, None],
+                                dx[sb] - contacts.dx0[sb], 0.0)
         offset = delta_a + contacts.kinematic_gaps - delta_b
         rc = jnp.where(ib == NULL, 1.0, 2.0)[:, None] * self.collision_radius
         return offset, rc
 
-    def _barrier_terms(self, contacts, dx):
-        offset, rc = self._offset_rc(contacts, dx)
+    def _barrier_terms(self, contacts, dx=None, zq=None):
+        offset, rc = self._offset_rc(contacts, dx=dx, zq=zq)
         nor = contacts.normals
         d = jnp.sum(offset * nor, axis=-1, keepdims=True)
         d_hat = d / rc
@@ -420,7 +620,8 @@ class Collision:
         dE_d_hat = -dc * (barrier + dc / dp)
         vt = (offset - d * nor) / self.dt
         vt_norm = jnp.linalg.norm(vt, axis=-1, keepdims=True)
-        return offset, rc, nor, d, d_hat, active, dp, dc, barrier, dE_d_hat, vt, vt_norm
+        return (offset, rc, nor, d, d_hat, active, dp, dc, barrier, dE_d_hat,
+                vt, vt_norm)
 
     def _h_vt(self, vt_norm):
         nu = self.friction_fluid
@@ -430,9 +631,9 @@ class Collision:
                             vt_norm - 1.0 / 3.0))
 
     # -- energy (ref :159) --
-    def energy(self, contacts: Contacts, dx, coeff=1.0):
+    def energy(self, contacts: Contacts, dx=None, coeff=1.0, zq=None):
         (offset, rc, nor, d, d_hat, active, dp, dc, barrier, dE_d_hat,
-         vt, vt_norm) = self._barrier_terms(contacts, dx)
+         vt, vt_norm) = self._barrier_terms(contacts, dx=dx, zq=zq)
         mu = self.friction
         e = -(dc ** 2) * jnp.log(dp)
         mu_fn = -mu * dE_d_hat / rc
@@ -440,9 +641,9 @@ class Collision:
         return coeff * jnp.sum(jnp.where(active, e, 0.0))
 
     # -- gradient wrt per-contact offset (ref :256) → (C, 3) --
-    def gradient(self, contacts: Contacts, dx, coeff=1.0):
+    def gradient(self, contacts: Contacts, dx=None, coeff=1.0, zq=None):
         (offset, rc, nor, d, d_hat, active, dp, dc, barrier, dE_d_hat,
-         vt, vt_norm) = self._barrier_terms(contacts, dx)
+         vt, vt_norm) = self._barrier_terms(contacts, dx=dx, zq=zq)
         mu = self.friction
         nu = self.friction_fluid
         g = dE_d_hat / rc * nor
@@ -458,9 +659,9 @@ class Collision:
         return coeff * jnp.where(active, g, 0.0)
 
     # -- hessian diag blocks (ref :366) → (C, 3, 3) --
-    def hessian(self, contacts: Contacts, dx, coeff=1.0):
+    def hessian(self, contacts: Contacts, dx=None, coeff=1.0, zq=None):
         (offset, rc, nor, d, d_hat, active, dp, dc, barrier, dE_d_hat,
-         vt, vt_norm) = self._barrier_terms(contacts, dx)
+         vt, vt_norm) = self._barrier_terms(contacts, dx=dx, zq=zq)
         mu = self.friction
         nu = self.friction_fluid
         dt = self.dt
@@ -477,7 +678,7 @@ class Collision:
         f1_over = jnp.where(vt_norm < 1.0, 2.0 - vt_norm,
                             1.0 / jnp.clip(vt_norm, 1e-12, None))
         f1_nu = f1_over + nu
-        eye = jnp.eye(3, dtype=dx.dtype)
+        eye = jnp.eye(3, dtype=nor.dtype)
         tangent_proj = eye - nn
         eps = 1e-4
         vv = vt[:, :, None] * vt[:, None, :]
@@ -509,14 +710,75 @@ class Collision:
         dvtn = jnp.where(vt_norm > eps, vt / (vt_safe * dt), 0.0)
         chain = -mu * dt / rc2
         h = h + chain * (
-            d2E[..., None] * h_vt_p[..., None] * (nor[:, :, None] * dvtn[:, None, :])
+            d2E[..., None] * h_vt_p[..., None]
+            * (nor[:, :, None] * dvtn[:, None, :])
             + (h_vt * d3E / rc)[..., None] * nn)
         return coeff * jnp.where(active[..., None], h, 0.0)
 
+    # -- q-form pullbacks: J^T g and J^T H J without materializing J --
+    @staticmethod
+    def _q_diff(contacts: Contacts):
+        return (_q_factor(contacts.wa, contacts.xa)
+                - _q_factor(contacts.wb, contacts.xb))       # (C, 4H)
+
+    def pullback_gradient(self, contacts: Contacts, g_per_contact):
+        """Raw-basis DOF gradient (D,) = Σ_c J_cᵀ g_c, computed from the
+        Kronecker factors: grad[(h,r,s)] = Σ_c q_c[h,s] g_c[r]."""
+        q = self._q_diff(contacts)                           # (C, 4H)
+        g2 = q.T @ g_per_contact                             # (4H, 3)
+        h = q.shape[1] // 4
+        return jnp.transpose(g2.reshape(h, 4, 3), (0, 2, 1)).reshape(-1)
+
+    def reduced_hessian(self, contacts: Contacts, h_per_contact):
+        """Raw-basis (D, D) J^T H J from the Kronecker factors:
+        JHJ[(h,r,s),(h',r',s')] = Σ_c q_c[h,s] H_c[r,r'] q_c[h',s'] — nine
+        (4H, C) @ (C, 4H) matmuls on the MXU."""
+        q = self._q_diff(contacts)                           # (C, 4H)
+        h4 = q.shape[1]
+        h = h4 // 4
+        blocks = [[(q * h_per_contact[:, r, l, None]).T @ q
+                   for l in range(3)] for r in range(3)]
+        x = jnp.stack([jnp.stack(row, 0) for row in blocks], 0)  # (3,3,4H,4H)
+        x = x.reshape(3, 3, h, 4, h, 4)
+        x = jnp.transpose(x, (2, 0, 3, 4, 1, 5))             # (h,3,4,h,3,4)
+        return x.reshape(12 * h, 12 * h)
+
     # -- line-search bounds (ref :509, :821) → (D,) per-DOF step clamp --
+    def get_bounds_q(self, contacts: Contacts, dzq, zq):
+        """Per-DOF Armijo step clamp in the RAW basis, from the q-form.
+        ``dzq`` (D,) raw-basis Newton direction; ``zq`` (D,) raw-basis DOF
+        delta since detection."""
+        nor = contacts.normals
+        dz2 = _z_mat(dzq)
+        qa = _q_factor(contacts.wa, contacts.xa)
+        qb = _q_factor(contacts.wb, contacts.xb)
+        delta_d_a = jnp.sum(nor * (qa @ dz2), axis=-1)       # (C,)
+        delta_d_b = -jnp.sum(nor * (qb @ dz2), axis=-1)
+
+        offset, rc = self._offset_rc(contacts, zq=zq)
+        rp = self.collision_barrier_ratio * rc[:, 0]
+        gap_cur = rp - jnp.sum(offset * nor, axis=-1)
+        ok = (gap_cur < 0.0) & contacts.valid
+        max_delta_d = 0.5 * 0.75 * gap_cur
+
+        def tmax(delta_d):
+            closing = (delta_d < 0.0) & ok
+            t = jnp.clip(max_delta_d / jnp.where(closing, delta_d, -1.0),
+                         0.0, 1.0)
+            return jnp.where(closing, t, 1.0)
+
+        t_a = tmax(delta_d_a)
+        t_b = tmax(delta_d_b)
+        b_a = jnp.min(jnp.where(qa != 0.0, t_a[:, None], 1.0), axis=0)
+        b_b = jnp.min(jnp.where(qb != 0.0, t_b[:, None], 1.0), axis=0)
+        b4 = jnp.minimum(b_a, b_b)                           # (4H,)
+        h = b4.shape[0] // 4
+        bounds = jnp.broadcast_to(b4.reshape(h, 1, 4), (h, 3, 4))
+        return bounds.reshape(-1)
+
     def get_bounds(self, contacts: Contacts, delta_dx, dx, ja_raw, jb_raw):
-        """delta_dx (N, 3) = (B dz); dx (N, 3) = (B z); ja/jb (3C, D) raw-basis
-        contact jacobians used only for their sparsity pattern."""
+        """Legacy gather-mode bounds from explicit raw contact jacobians
+        (kept for API compatibility; the scene uses :meth:`get_bounds_q`)."""
         d = ja_raw.shape[1]
         c = contacts.normals.shape[0]
         nor = contacts.normals
@@ -529,7 +791,7 @@ class Collision:
         delta_d_b = -jnp.sum(nor * delta_dx[sb], axis=-1)
         delta_d_b = jnp.where(ib != NULL, delta_d_b, 0.0)
 
-        offset, rc = self._offset_rc(contacts, dx)
+        offset, rc = self._offset_rc(contacts, dx=dx)
         rp = self.collision_barrier_ratio * rc[:, 0]
         gap_cur = rp - jnp.sum(offset * nor, axis=-1)
         ok = (gap_cur < 0.0) & contacts.valid
@@ -537,15 +799,35 @@ class Collision:
 
         def tmax(delta_d):
             closing = (delta_d < 0.0) & ok
-            t = jnp.clip(max_delta_d / jnp.where(closing, delta_d, -1.0), 0.0, 1.0)
+            t = jnp.clip(max_delta_d / jnp.where(closing, delta_d, -1.0),
+                         0.0, 1.0)
             return jnp.where(closing, t, 1.0)
 
-        t_a = tmax(delta_d_a)  # (C,)
+        t_a = tmax(delta_d_a)
         t_b = tmax(delta_d_b)
-        # per-contact touched DOFs from the raw jacobian sparsity
         mask_a = jnp.any(ja_raw.reshape(c, 3, d) != 0.0, axis=1)
         mask_b = jnp.any(jb_raw.reshape(c, 3, d) != 0.0, axis=1)
         bounds = jnp.min(jnp.where(mask_a, t_a[:, None], 1.0), axis=0)
-        bounds = jnp.minimum(bounds,
-                             jnp.min(jnp.where(mask_b, t_b[:, None], 1.0), axis=0))
+        bounds = jnp.minimum(
+            bounds, jnp.min(jnp.where(mask_b, t_b[:, None], 1.0), axis=0))
         return bounds
+
+    # -- legacy dense jacobian (kept for API compatibility / tests) --
+    def calculate_jacobian(self, contacts: Contacts, B_dense, qr_tfm=None):
+        """Dense contact jacobian J = J_a − J_b of shape (3C, D). The scene
+        no longer materializes this — see :meth:`pullback_gradient` /
+        :meth:`reduced_hessian` for the factored path."""
+        d = B_dense.shape[1]
+
+        def side(idx):
+            ok = idx != NULL
+            safe = jnp.where(ok, idx, 0)
+            rows = B_dense.reshape(-1, 3, d)[safe]       # (C, 3, D)
+            return jnp.where(ok[:, None, None], rows, 0.0)
+
+        ja = side(contacts.indices_a) * contacts.valid[:, None, None]
+        jb = side(contacts.indices_b) * contacts.valid[:, None, None]
+        j = (ja - jb).reshape(-1, d)
+        if qr_tfm is not None:
+            j = j @ qr_tfm
+        return j, ja.reshape(-1, d), jb.reshape(-1, d)

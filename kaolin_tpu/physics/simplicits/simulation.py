@@ -271,7 +271,9 @@ class SimplicitsScene:
         m_diag = jnp.repeat(self.sim_masses, 3)
         self.sim_BMB = self.sim_B.T @ (m_diag[:, None] * self.sim_B)
 
-        # raw (pre-QR) weights for the collision jacobian; pre-QR LBS rows
+        # raw (pre-QR) LBS rows — kept for tests/tools; the sim step now
+        # uses the per-particle Kronecker factors (w, [x;1]) instead of
+        # materializing jacobian rows (collisions.py module docstring)
         self.sim_B_raw = blockdiag(
             [lbs_matrix(o.pts, o.skinning_weights) for o in objs],
             [3 * o.num_qp for o in objs],
@@ -373,20 +375,21 @@ class SimplicitsScene:
     def enable_collisions(self, collision_particle_radius=0.1,
                           detection_ratio=1.5, impenetrable_barrier_ratio=0.25,
                           collision_penalty=1000.0, max_contact_pairs=10000,
-                          friction=0.5, broad_phase=None, cell_capacity=32,
-                          sweep_window=None):
+                          friction=0.5, broad_phase=None, cell_capacity=None,
+                          sweep_window=None, slot_contact_capacity=None):
         """Ref :838.
 
         ``broad_phase``: ``"dense"`` (exact O(N²) pair matrix), ``"grid"``
-        (spatial-hash cells fetched as contiguous sorted runs — the analog
-        of the reference's ``wp.HashGrid``, restructured so candidate data
-        moves in row-slice gathers rather than TPU-hostile element
-        gathers), ``"sweep"`` (sort-and-window sweep — fastest for
-        elongated distributions with bounded axis density), or None (auto —
-        grid at/above ``GRID_BROAD_PHASE_THRESHOLD`` contact particles,
-        dense below). ``cell_capacity`` / ``sweep_window`` are the fixed
-        candidate budgets; overflow is surfaced by
-        :meth:`collision_diagnostics`.
+        (dense cell grid built with one scatter; candidates from static
+        half-stencil slices — the TPU analog of the reference's
+        ``wp.HashGrid``, with zero data-dependent gathers), ``"sweep"``
+        (sort-and-window sweep — for elongated distributions with bounded
+        axis density), or None (auto — grid at/above
+        ``GRID_BROAD_PHASE_THRESHOLD`` contact particles, dense below).
+        ``cell_capacity`` (points per cell) and ``slot_contact_capacity``
+        (one-sided contacts per particle) default to sizes measured on the
+        REST configuration with headroom; overflow during simulation is
+        surfaced by :meth:`collision_diagnostics`.
         """
         if not self._ready_for_forces:
             self._get_scene_ready_for_forces()
@@ -407,8 +410,20 @@ class SimplicitsScene:
             max_contacting_pairs=min(max_contact_pairs,
                                      self.total_qp * (self.total_qp - 1) // 2),
             bounds=True, broad_phase=broad_phase,
-            cell_capacity=cell_capacity,
-            sweep_window=128 if sweep_window is None else sweep_window)
+            cell_capacity=16 if cell_capacity is None else cell_capacity,
+            sweep_window=128 if sweep_window is None else sweep_window,
+            slot_contact_capacity=(16 if slot_contact_capacity is None
+                                   else slot_contact_capacity))
+        if broad_phase == "grid":
+            collision.configure_grid(
+                np.asarray(self.sim_pts),
+                obj_ids=np.asarray(self.qp_to_object_map),
+                auto_capacities=(cell_capacity is None
+                                 or slot_contact_capacity is None))
+            if cell_capacity is not None:
+                collision.cell_capacity = int(cell_capacity)
+            if slot_contact_capacity is not None:
+                collision.slot_contact_capacity = int(slot_contact_capacity)
         self.force_dict["collision"] = {"object": collision,
                                         "coeff": float(collision_penalty)}
         self._step_fn = None
@@ -441,7 +456,8 @@ class SimplicitsScene:
         col = self.force_dict["collision"]["object"]
         dx = (self.sim_B @ self.sim_z).reshape(-1, 3)
         return col.detection_diagnostics(dx, self.sim_pts,
-                                         self.qp_to_object_map)
+                                         self.qp_to_object_map,
+                                         self.qp_is_kinematic)
 
     # ---- state ----
     def reset_scene(self):
@@ -602,7 +618,6 @@ class SimplicitsScene:
         objs = list(self.sim_obj_dict.values())
         consts = {
             "B": self.sim_B,
-            "B_raw": self.sim_B_raw,
             "dFdz": self.sim_dFdz,
             "BMB": self.sim_BMB,
             "pts": self.sim_pts,
@@ -622,6 +637,18 @@ class SimplicitsScene:
             consts["collision"] = self.force_dict["collision"]["object"]
             consts["collision_coeff"] = jnp.asarray(
                 self.force_dict["collision"]["coeff"], dtype)
+            # global block-diagonal skinning weights (N, H_total): the
+            # q-form contact factors w ⊗ [x;1] are built from these at
+            # detection so the Newton loop never gathers (collisions.py
+            # module docstring)
+            wblocks = jnp.zeros((self.total_qp, self.total_dofs // 12),
+                                dtype=dtype)
+            h0 = 0
+            for o, (qsl, _) in zip(objs, obj_slices):
+                wblocks = wblocks.at[
+                    qsl, h0:h0 + o.num_handles].set(o.skinning_weights)
+                h0 += o.num_handles
+            consts["col_w"] = wblocks
 
         def step(c, z, z_prev_in, z_dot):
             B, dFdz, BMB, pts = c["B"], c["dFdz"], c["BMB"], c["pts"]
@@ -634,7 +661,28 @@ class SimplicitsScene:
             def F_of(z_):
                 return (dFdz @ z_).reshape(-1, 3, 3) + eye3
 
-            def assemble_energy(z_, delta_dz, contacts, cJ):
+            # detect collisions at step start (ref run_sim_step :1353).
+            # Contacts carry the Kronecker factors w ⊗ [x;1] of their LBS
+            # jacobian rows, so offsets / pullbacks / bounds below are all
+            # dense matmuls — no (3C, D) jacobian, no gathers in the Newton
+            # loop (collisions.py module docstring).
+            qr = c["qr_tfm"]
+            if has_collision:
+                dx0 = dx_of(z)
+                contacts = collision.detect_collisions(
+                    dx0, pts, c["qp_obj_ids"], c["qp_is_kin"],
+                    weights=c["col_w"])
+
+                def zq_of(z_):
+                    dzq = z_ - z
+                    return dzq if qr is None else qr @ dzq
+
+                def to_post(g_raw):
+                    return g_raw if qr is None else qr.T @ g_raw
+            else:
+                contacts = None
+
+            def assemble_energy(z_, delta_dz, contacts):
                 dx = dx_of(z_)
                 F = F_of(z_)
                 pe = jnp.asarray(0.0, dtype=dtype)
@@ -643,11 +691,13 @@ class SimplicitsScene:
                 for obj, coeff in c["defo_forces"]:
                     pe = pe + obj.energy(F, coeff)
                 if has_collision:
-                    pe = pe + collision.energy(contacts, dx, collision_coeff)
+                    pe = pe + collision.energy(contacts,
+                                               coeff=collision_coeff,
+                                               zq=zq_of(z_))
                 ke = 0.5 * delta_dz @ (BMB @ delta_dz)
                 return ke + dt * dt * pe
 
-            def assemble_gradient(z_, delta_dz, contacts, cJ):
+            def assemble_gradient(z_, delta_dz, contacts):
                 dx = dx_of(z_)
                 F = F_of(z_)
                 dEdx = jnp.zeros_like(dx)
@@ -658,11 +708,14 @@ class SimplicitsScene:
                     dEdF = dEdF + obj.gradient(F, coeff)
                 g = B.T @ dEdx.reshape(-1) + dFdz.T @ dEdF.reshape(-1)
                 if has_collision:
-                    c_dEdx = collision.gradient(contacts, dx, collision_coeff)
-                    g = g + cJ.T @ c_dEdx.reshape(-1)
+                    c_dEdx = collision.gradient(contacts,
+                                                coeff=collision_coeff,
+                                                zq=zq_of(z_))
+                    g = g + to_post(
+                        collision.pullback_gradient(contacts, c_dEdx))
                 return BMB @ delta_dz + dt * dt * g
 
-            def assemble_hessian(z_, contacts, cJ):
+            def assemble_hessian(z_, contacts):
                 dx = dx_of(z_)
                 F = F_of(z_)
                 d2Edx2 = jnp.zeros(dx.shape[:1] + (3, 3), dtype=dtype)
@@ -678,34 +731,28 @@ class SimplicitsScene:
                         hess_reduction(odFdz, d2EdF2[qsl])
                     H = H.at[zsl, zsl].add(h_ii)
                 if has_collision:
-                    c_h = collision.hessian(contacts, dx, collision_coeff)
-                    H = H + hess_reduction(cJ, c_h)
+                    c_h = collision.hessian(contacts, coeff=collision_coeff,
+                                            zq=zq_of(z_))
+                    c_H = collision.reduced_hessian(contacts, c_h)
+                    if qr is not None:
+                        c_H = qr.T @ c_H @ qr
+                    H = H + c_H
                 return BMB + dt * dt * H + reg * jnp.eye(total_dofs,
                                                          dtype=dtype)
-
-            # detect collisions at step start (ref run_sim_step :1353)
-            if has_collision:
-                dx0 = dx_of(z)
-                contacts = collision.detect_collisions(
-                    dx0, pts, c["qp_obj_ids"], c["qp_is_kin"])
-                cJ, cJa, cJb = collision.calculate_jacobian(
-                    contacts, c["B_raw"], qr_tfm=c["qr_tfm"])
-            else:
-                contacts, cJ, cJa, cJb = None, None, None, None
 
             z_prev = z
 
             def delta_of(z_):
                 return z_ - z_prev - dt * z_dot
 
-            energy_fn = lambda z_: assemble_energy(z_, delta_of(z_), contacts, cJ)  # noqa: E731
-            grad_fn = lambda z_: assemble_gradient(z_, delta_of(z_), contacts, cJ)  # noqa: E731
-            hess_fn = lambda z_: assemble_hessian(z_, contacts, cJ)  # noqa: E731
+            energy_fn = lambda z_: assemble_energy(z_, delta_of(z_), contacts)  # noqa: E731
+            grad_fn = lambda z_: assemble_gradient(z_, delta_of(z_), contacts)  # noqa: E731
+            hess_fn = lambda z_: assemble_hessian(z_, contacts)  # noqa: E731
 
             if collision_bounds:
                 def bounds_fn(dz_full, z_):
-                    return collision.get_bounds(contacts, dx_of(dz_full),
-                                                dx_of(z_), cJa, cJb)
+                    dzq = dz_full if qr is None else qr @ dz_full
+                    return collision.get_bounds_q(contacts, dzq, zq_of(z_))
             else:
                 bounds_fn = None
 
