@@ -290,3 +290,83 @@ def test_run_sim_step_sweep_matches_dense_trajectory():
     # same contact sets, different buffer order → float drift (see grid test)
     np.testing.assert_allclose(trajs["sweep"], trajs["dense"],
                                rtol=1e-2, atol=2e-4)
+
+
+# ---- q-form (Kronecker-factored) contact math vs the explicit jacobian ----
+
+def _qform_setup(seed=0, n=60, h=5):
+    """Contacts detected both ways on one scene + a raw-basis DOF state.
+
+    The q-form stores per-side factors w (H,) and [x;1] (4,) of each
+    contact's LBS jacobian row; every quantity it produces must match the
+    legacy path that materializes the (3C, 12H) jacobian from lbs_matrix.
+    """
+    from kaolin_tpu.physics.simplicits.precomputed import lbs_matrix
+
+    rng = np.random.RandomState(seed)
+    x0 = jnp.asarray(rng.uniform(-0.4, 0.4, (n, 3)), jnp.float32)
+    w = jnp.asarray(rng.uniform(0.05, 1.0, (n, h)), jnp.float32)
+    obj_ids = jnp.asarray(np.arange(n) % 3, jnp.int32)
+    B = lbs_matrix(x0, w)                                   # (3N, 12H)
+    z0 = jnp.asarray(rng.randn(12 * h) * 0.02, jnp.float32)
+    dz = jnp.asarray(rng.randn(12 * h) * 0.01, jnp.float32)
+    dx0 = (B @ z0).reshape(-1, 3)
+    dx = (B @ (z0 + dz)).reshape(-1, 3)
+
+    col = Collision(dt=0.01, collision_particle_radius=0.08,
+                    broad_phase="dense", max_contacting_pairs=2000)
+    c_leg = col.detect_collisions(dx0, x0, obj_ids)
+    c_q = col.detect_collisions(dx0, x0, obj_ids, weights=w)
+    assert int(np.sum(np.asarray(c_leg.valid))) > 5
+    np.testing.assert_array_equal(np.asarray(c_leg.indices_a),
+                                  np.asarray(c_q.indices_a))
+    np.testing.assert_array_equal(np.asarray(c_leg.indices_b),
+                                  np.asarray(c_q.indices_b))
+    return col, c_leg, c_q, B, dx, dz, rng
+
+
+def test_qform_energy_gradient_hessian_match_legacy():
+    col, c_leg, c_q, B, dx, dz, _ = _qform_setup()
+    e_leg = col.energy(c_leg, dx=dx)
+    e_q = col.energy(c_q, zq=dz)
+    np.testing.assert_allclose(np.asarray(e_q), np.asarray(e_leg),
+                               rtol=1e-5, atol=1e-6)
+    g_leg = col.gradient(c_leg, dx=dx)
+    g_q = col.gradient(c_q, zq=dz)
+    np.testing.assert_allclose(np.asarray(g_q), np.asarray(g_leg),
+                               rtol=1e-4, atol=1e-6)
+    h_leg = col.hessian(c_leg, dx=dx)
+    h_q = col.hessian(c_q, zq=dz)
+    # the log-barrier's 2nd derivatives amplify f32 noise in the offsets
+    # (~3e-8) by ~1/dp^2 — tolerance reflects precision, not math
+    np.testing.assert_allclose(np.asarray(h_q), np.asarray(h_leg),
+                               rtol=2e-3, atol=1e-2)
+
+
+def test_qform_pullbacks_match_explicit_jacobian():
+    from kaolin_tpu.physics.utils.torch_utilities import hess_reduction
+
+    col, c_leg, c_q, B, dx, dz, _ = _qform_setup()
+    cJ, _, _ = col.calculate_jacobian(c_leg, B)
+    g = col.gradient(c_leg, dx=dx)
+    want_g = cJ.T @ g.reshape(-1)
+    got_g = col.pullback_gradient(c_q, col.gradient(c_q, zq=dz))
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
+                               rtol=1e-4, atol=1e-5)
+
+    h = col.hessian(c_leg, dx=dx)
+    want_H = hess_reduction(cJ, h)
+    got_H = col.reduced_hessian(c_q, col.hessian(c_q, zq=dz))
+    # f32 barrier-hessian noise (see above) + reordered reductions
+    np.testing.assert_allclose(np.asarray(got_H), np.asarray(want_H),
+                               rtol=2e-3, atol=5e-2)
+
+
+def test_qform_bounds_match_legacy():
+    col, c_leg, c_q, B, dx, dz, rng = _qform_setup()
+    dz2 = jnp.asarray(rng.randn(dz.shape[0]).astype(np.float32) * 0.2)
+    _, cJa, cJb = col.calculate_jacobian(c_leg, B)
+    want = col.get_bounds(c_leg, (B @ dz2).reshape(-1, 3), dx, cJa, cJb)
+    got = col.get_bounds_q(c_q, dz2, dz)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
