@@ -209,7 +209,7 @@ class Collision:
             return dims, k, tests, table_bytes
 
         best = None
-        for i in range(10):
+        for i in range(40):   # 1.26^40 ≈ 1e4 — even degenerate bboxes land
             cell = radius * (1.26 ** i)
             dims, k, tests, table_bytes = measure(cell)
             fits = table_bytes <= mem_budget

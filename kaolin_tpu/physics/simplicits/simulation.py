@@ -271,13 +271,7 @@ class SimplicitsScene:
         m_diag = jnp.repeat(self.sim_masses, 3)
         self.sim_BMB = self.sim_B.T @ (m_diag[:, None] * self.sim_B)
 
-        # raw (pre-QR) LBS rows — kept for tests/tools; the sim step now
-        # uses the per-particle Kronecker factors (w, [x;1]) instead of
-        # materializing jacobian rows (collisions.py module docstring)
-        self.sim_B_raw = blockdiag(
-            [lbs_matrix(o.pts, o.skinning_weights) for o in objs],
-            [3 * o.num_qp for o in objs],
-            [12 * o.num_handles for o in objs])
+        self._sim_B_raw = None  # lazy; see sim_B_raw property
 
         # QR rotations (ref :487-516)
         if any(o.apply_qr for o in objs):
@@ -319,6 +313,20 @@ class SimplicitsScene:
         self._compute_sim_constants()
         self.reset_scene()
         self._ready_for_forces = True
+
+    @property
+    def sim_B_raw(self):
+        """Raw (pre-QR) LBS rows, (3N, D). Built lazily — the sim step uses
+        the per-particle Kronecker factors (w, [x;1]) instead of
+        materializing jacobian rows (collisions.py module docstring); this
+        exists for tests/tools that want the explicit operator."""
+        if self._sim_B_raw is None:
+            objs = list(self.sim_obj_dict.values())
+            self._sim_B_raw = blockdiag(
+                [lbs_matrix(o.pts, o.skinning_weights) for o in objs],
+                [3 * o.num_qp for o in objs],
+                [12 * o.num_handles for o in objs])
+        return self._sim_B_raw
 
     # ---- forces (ref :755-875) ----
     def set_scene_gravity(self, acc_gravity=(0.0, 9.8, 0.0), gravity_coeff=1.0):
@@ -415,9 +423,17 @@ class SimplicitsScene:
             slot_contact_capacity=(16 if slot_contact_capacity is None
                                    else slot_contact_capacity))
         if broad_phase == "grid":
+            # geometry/capacities from REAL points only: phantom padding
+            # points (heterogeneous batching) sit far outside the content
+            # bbox and would blow the grid span; at runtime they clamp into
+            # boundary cells and the exact distance test rejects them
+            real = np.concatenate([
+                np.arange(o.num_qp) < (o.num_qp if o.num_real_qp is None
+                                       else int(o.num_real_qp))
+                for o in self.sim_obj_dict.values()])
             collision.configure_grid(
-                np.asarray(self.sim_pts),
-                obj_ids=np.asarray(self.qp_to_object_map),
+                np.asarray(self.sim_pts)[real],
+                obj_ids=np.asarray(self.qp_to_object_map)[real],
                 auto_capacities=(cell_capacity is None
                                  or slot_contact_capacity is None))
             if cell_capacity is not None:
