@@ -133,6 +133,43 @@ def sweep_raytrace(configs=((256, 8), (512, 9), (1024, 9))):
     return rows
 
 
+def sweep_collision(configs=(2048, 10_000, 50_000)):
+    """Grid-broad-phase contact detection across particle counts, at
+    physical packing density (box sized so spacing ~ particle radius).
+    Returns (N, cells, K, K2, pairs, detect ms)."""
+    import jax
+    import jax.numpy as jnp
+    from bench import _sync
+    from kaolin_tpu.physics.common.collisions import Collision
+
+    rows = []
+    radius = 0.05
+    for n in configs:
+        rng = np.random.RandomState(0)
+        side = (n * (2 * radius) ** 3 * 10) ** (1 / 3)  # ~10 cells/particle
+        x0 = jnp.asarray(rng.uniform(0, side, (n, 3)), jnp.float32)
+        obj_ids = jnp.asarray(np.arange(n) % 4, jnp.int32)
+        dx = jnp.zeros_like(x0)
+        col = Collision(dt=0.01, collision_particle_radius=radius,
+                        broad_phase="grid", max_contacting_pairs=8 * n)
+        col.configure_grid(np.asarray(x0), obj_ids=np.asarray(obj_ids),
+                           margin=0.1)
+        detect = jax.jit(col.detect_collisions)
+        c = detect(dx, x0, obj_ids)
+        _sync(c.valid)
+
+        def run():
+            _sync(detect(dx, x0, obj_ids).valid)
+            return 1
+
+        sec = _time_best(run, lambda: None)
+        pairs = int(np.sum(np.asarray(c.valid)))
+        gx, gy, gz = col.grid_dims
+        rows.append((n, gx * gy * gz, col.cell_capacity,
+                     col.slot_contact_capacity, pairs, sec * 1e3))
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -164,6 +201,14 @@ def main():
     for r in rt:
         print(f"| {r[0]} | {r[1]} | {r[2]:.2f} | {r[3]:.0f} |")
     print(json.dumps({"raytrace_sweep": [list(r) for r in rt]}))
+
+    co = sweep_collision((2048, 10_000)) if args.quick else sweep_collision()
+    print("\n## Contact detection scale sweep (grid broad phase)")
+    print("| N | cells | K | K2 | pairs | detect ms |")
+    print("|---|---|---|---|---|---|")
+    for r in co:
+        print(f"| {r[0]} | {r[1]} | {r[2]} | {r[3]} | {r[4]} | {r[5]:.2f} |")
+    print(json.dumps({"collision_sweep": [list(r) for r in co]}))
 
 
 if __name__ == "__main__":
