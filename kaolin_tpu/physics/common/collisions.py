@@ -517,9 +517,18 @@ class Collision:
         # the break-even against a c-row latency-bound gather
         if (jax.default_backend() == "tpu"
                 and c * nrows * (table.shape[1] + 2) <= 2.5e11):
-            oh = (idx[:, None] == jnp.arange(nrows, dtype=idx.dtype)[None, :]
-                  ).astype(table.dtype)
-            return oh @ table
+            # chunk so the (chunk, nrows) one-hot stays ≤ ~1 GB even if XLA
+            # materializes it instead of fusing the iota-compare into the dot
+            chunk = max(128, int(2.5e8 // max(nrows, 1)))
+            cols = jnp.arange(nrows, dtype=idx.dtype)[None, :]
+
+            def block(ii):
+                return (ii[:, None] == cols).astype(table.dtype) @ table
+
+            if c <= chunk:
+                return block(idx)
+            outs = [block(idx[i:i + chunk]) for i in range(0, c, chunk)]
+            return jnp.concatenate(outs, axis=0)
         return table[idx]
 
     # -- detection (ref :643) --
