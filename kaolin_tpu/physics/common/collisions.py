@@ -324,69 +324,75 @@ class Collision:
         slot = jnp.where(in_cap, lin_s * k + rank, num_slots)
         dropped = jnp.sum((~in_cap).astype(jnp.int32))
 
-        # packed channels: [cur(3), x0(3), meta, idx+1]; empty slots are all
-        # zero → idx channel 0 marks invalid
+        # packed channels: [cur(3), x0(3), meta, idx+1], CHANNELS-LEADING
+        # (8, N); empty slots are all zero → idx channel 0 marks invalid.
+        # TPU layout rule (see flexicubes/dense.py): the small channel/K
+        # axes lead and the large cell axis stays minor, so every
+        # narrow-phase op vectorizes over 128-lane tiles of cells instead
+        # of padding an 8- or K-wide minor.
         meta = (cp_obj_ids.astype(f32) * 2.0
                 + cp_is_static.astype(f32))[order]
         packed = jnp.concatenate(
-            [cur[order], cp_x0[order], meta[:, None],
-             (order + 1).astype(f32)[:, None]], axis=1)
-        grid = jnp.zeros((num_slots + 1, 8), f32).at[slot].set(
+            [cur[order].T, cp_x0[order].T, meta[None],
+             (order + 1).astype(f32)[None]], axis=0)        # (8, N)
+        # K-major slot layout: flat index rank*num_cells + lin
+        slot_km = jnp.where(in_cap, rank * num_cells + lin_s, num_slots)
+        grid = jnp.zeros((8, num_slots + 1), f32).at[:, slot_km].set(
             packed, unique_indices=True, mode="drop")
-        g3 = grid[:-1].reshape(gx, gy, gz, k, 8)
-        gp = jnp.pad(g3, ((1, 1), (1, 1), (1, 1), (0, 0), (0, 0)))
+        g5 = grid[:, :num_slots].reshape(8, k, gx, gy, gz)
+        gp = jnp.pad(g5, ((0, 0), (0, 0), (1, 1), (1, 1), (1, 1)))
 
-        c_pos = g3[..., 0:3]
-        c_x0 = g3[..., 3:6]
-        c_meta = g3[..., 6]
-        c_idx = g3[..., 7]
-        c_ok = c_idx > 0.5
+        c_pos = g5[0:3]                                     # (3, K, g,g,g)
+        c_x0 = g5[3:6]
+        c_meta = g5[6]                                      # (K, g,g,g)
+        c_ok = g5[7] > 0.5
 
         # Narrow phase, slot-major: each cell's K slots against the cell's
         # own upper triangle + 13 half-stencil neighbor blocks (static
         # slices — zero gathers). Masked partner ids (+1; 0 = miss) are
-        # written straight into a (slots, 14K) table; counts are EXACT (no
-        # per-block caps). The compaction to (N, K2) then runs
-        # particle-major after one row gather, so it scales with N rather
+        # written into a (K_slot, 14, K_partner, cells) block stack, then
+        # ONE transpose brings it to the (slots, 14K) row-gather layout.
+        # Counts are EXACT (no per-block caps); compaction to (N, K2) runs
+        # particle-major after the row gather, so it scales with N rather
         # than with the mostly empty slot count.
         def masked_partners(nb, tri_mask=None):
-            """nb (..., K, 8) candidate block → (..., K_slot, K_partner)
-            partner ids+1 masked by the exact narrow test (0 = miss)."""
-            n_ok = nb[..., 7] > 0.5
-            d2 = jnp.sum((c_pos[..., :, None, :]
-                          - nb[..., None, :, 0:3]) ** 2, -1)
-            rest2 = jnp.sum((c_x0[..., :, None, :]
-                             - nb[..., None, :, 3:6]) ** 2, -1)
-            m = (c_ok[..., :, None] & n_ok[..., None, :]
-                 & self._narrow_mask(d2, rest2, (c_meta // 2)[..., :, None],
-                                     (nb[..., 6] // 2)[..., None, :]))
+            """nb (8, K, g,g,g) candidate block → (K_slot, K_partner,
+            g,g,g) partner ids+1 masked by the exact narrow test (0 =
+            miss; ids ride as f32, exact below 2^24)."""
+            n_ok = nb[7] > 0.5
+            d2 = jnp.sum((c_pos[:, :, None] - nb[0:3, None]) ** 2, 0)
+            rest2 = jnp.sum((c_x0[:, :, None] - nb[3:6, None]) ** 2, 0)
+            m = (c_ok[:, None] & n_ok[None]
+                 & self._narrow_mask(d2, rest2, (c_meta // 2)[:, None],
+                                     (nb[6] // 2)[None]))
             if tri_mask is not None:
-                m = m & tri_mask
-            pid = nb[..., 7].astype(jnp.int32)
-            return jnp.where(m, pid[..., None, :], 0)
+                m = m & tri_mask[:, :, None, None, None]
+            return jnp.where(m, nb[7][None], 0.0)
 
         tri = (jnp.arange(k)[:, None] < jnp.arange(k)[None, :])
-        blocks = [masked_partners(g3, tri_mask=tri)]        # in-cell
+        blocks = [masked_partners(g5, tri_mask=tri)]        # in-cell
         for (ox, oy, oz) in _HALF_OFFSETS:
             blocks.append(masked_partners(
-                gp[1 + ox:1 + ox + gx, 1 + oy:1 + oy + gy,
+                gp[:, :, 1 + ox:1 + ox + gx, 1 + oy:1 + oy + gy,
                    1 + oz:1 + oz + gz]))
 
         nblk = len(blocks)                                  # 14
         w2 = nblk * k
-        table = jnp.stack(blocks, -2).reshape(num_slots, w2)
-        table = jnp.concatenate(
-            [table, jnp.zeros((1, w2), jnp.int32)], axis=0)
+        big = jnp.stack(blocks, axis=1)          # (K, 14, K, g,g,g)
+        table = jnp.transpose(
+            big.reshape(k, w2, num_cells), (2, 0, 1)
+        ).reshape(num_slots, w2)                 # rows in lin*K+rank order
+        table = jnp.concatenate([table, jnp.zeros((1, w2), f32)], axis=0)
         ids_p = table[slot]                                 # (N, 14K) gather
-        valid1 = ids_p > 0
+        valid1 = ids_p > 0.5
         cnt_true = jnp.sum(valid1.astype(jnp.int32), axis=1)  # (N,) exact
         num_pairs = jnp.sum(cnt_true)
         slot_overflow = jnp.max(cnt_true) > k2
 
         rank2 = jnp.cumsum(valid1.astype(jnp.int32), axis=1)
-        cols = [jnp.sum(jnp.where(valid1 & (rank2 == r + 1), ids_p, 0),
+        cols = [jnp.sum(jnp.where(valid1 & (rank2 == r + 1), ids_p, 0.0),
                         axis=1) for r in range(k2)]
-        ib = jnp.stack(cols, axis=1) - 1                    # (N, K2)
+        ib = jnp.stack(cols, axis=1).astype(jnp.int32) - 1  # (N, K2)
         valid = (jnp.arange(k2, dtype=jnp.int32)[None, :]
                  < jnp.minimum(cnt_true, k2)[:, None])
         ia = jnp.broadcast_to(order[:, None], (n, k2))
