@@ -80,6 +80,12 @@ def _q_factor(w, x):
     return (w[:, :, None] * x[:, None, :]).reshape(w.shape[0], -1)
 
 
+def _q_factor_t(w, x):
+    """Transposed q factor (4H, C) built channels-first (lanes = C)."""
+    c = w.shape[0]
+    return (w.T[:, None, :] * x.T[None, :, :]).reshape(-1, c)
+
+
 def _z_mat(zq):
     """Raw-basis DOF vector (12H,) → (4H, 3) matrix Z with
     delta (C, 3) = q (C, 4H) @ Z; DOF layout z[(h, r, s)] (ref
@@ -598,8 +604,12 @@ class Collision:
                         wa=wa, wb=wb, xa=xa, xb=xb)
 
     # -- per-contact geometry --
-    def _offset_rc(self, contacts: Contacts, dx=None, zq=None):
-        """Relative offset (C,3) and target distance rc (C,1). Ref :107-157.
+    # Channels-first internals: all (C, 3)-shaped quantities are computed as
+    # (3, C) — a 3-wide minor axis wastes ~98% of the VPU's 128 lanes, and
+    # the Armijo line search vmaps these expressions over ~2·max_ls_steps
+    # step candidates (same layout rule as the broad phase / flexicubes).
+    def _offset_rc_t(self, contacts: Contacts, dx=None, zq=None):
+        """Relative offset (3, C) and target distance rc (C,). Ref :107-157.
 
         ``zq`` (D,) raw-basis DOF delta since detection (q-form, preferred:
         two small matmuls, no gathers); ``dx`` (N, 3) current displacements
@@ -607,34 +617,41 @@ class Collision:
         ia = contacts.indices_a
         ib = contacts.indices_b
         if zq is not None:
-            z2 = _z_mat(zq)
-            delta_a = _q_factor(contacts.wa, contacts.xa) @ z2
-            delta_b = _q_factor(contacts.wb, contacts.xb) @ z2
+            z2t = _z_mat(zq).T                               # (3, 4H)
+            delta_a = z2t @ _q_factor_t(contacts.wa, contacts.xa)  # (3, C)
+            delta_b = z2t @ _q_factor_t(contacts.wb, contacts.xb)
         else:
             sa = jnp.where(ia != NULL, ia, 0)
             sb = jnp.where(ib != NULL, ib, 0)
-            delta_a = jnp.where((ia != NULL)[:, None],
-                                dx[sa] - contacts.dx0[sa], 0.0)
-            delta_b = jnp.where((ib != NULL)[:, None],
-                                dx[sb] - contacts.dx0[sb], 0.0)
-        offset = delta_a + contacts.kinematic_gaps - delta_b
-        rc = jnp.where(ib == NULL, 1.0, 2.0)[:, None] * self.collision_radius
+            delta_a = jnp.where((ia != NULL)[None],
+                                (dx[sa] - contacts.dx0[sa]).T, 0.0)
+            delta_b = jnp.where((ib != NULL)[None],
+                                (dx[sb] - contacts.dx0[sb]).T, 0.0)
+        offset = delta_a + contacts.kinematic_gaps.T - delta_b
+        rc = jnp.where(ib == NULL, 1.0, 2.0) * self.collision_radius
         return offset, rc
 
+    def _offset_rc(self, contacts: Contacts, dx=None, zq=None):
+        """Legacy layout: offset (C, 3), rc (C, 1)."""
+        offset, rc = self._offset_rc_t(contacts, dx=dx, zq=zq)
+        return offset.T, rc[:, None]
+
     def _barrier_terms(self, contacts, dx=None, zq=None):
-        offset, rc = self._offset_rc(contacts, dx=dx, zq=zq)
-        nor = contacts.normals
-        d = jnp.sum(offset * nor, axis=-1, keepdims=True)
+        """Channels-first barrier quantities: offset/nor/vt are (3, C),
+        everything else (C,)."""
+        offset, rc = self._offset_rc_t(contacts, dx=dx, zq=zq)
+        nor = contacts.normals.T                             # (3, C)
+        d = jnp.sum(offset * nor, axis=0)                    # (C,)
         d_hat = d / rc
         rp = self.collision_barrier_ratio
-        active = (d_hat > rp) & (d_hat <= 1.0) & contacts.valid[:, None]
+        active = (d_hat > rp) & (d_hat <= 1.0) & contacts.valid
         # clamp for safe log even when inactive
         dp = jnp.clip(d_hat - rp, 1e-9, None)
         dc = d_hat - 1.0
         barrier = 2.0 * jnp.log(dp)
         dE_d_hat = -dc * (barrier + dc / dp)
-        vt = (offset - d * nor) / self.dt
-        vt_norm = jnp.linalg.norm(vt, axis=-1, keepdims=True)
+        vt = (offset - d[None] * nor) / self.dt              # (3, C)
+        vt_norm = jnp.sqrt(jnp.sum(vt * vt, axis=0))         # (C,)
         return (offset, rc, nor, d, d_hat, active, dp, dc, barrier, dE_d_hat,
                 vt, vt_norm)
 
@@ -661,17 +678,17 @@ class Collision:
          vt, vt_norm) = self._barrier_terms(contacts, dx=dx, zq=zq)
         mu = self.friction
         nu = self.friction_fluid
-        g = dE_d_hat / rc * nor
+        g = (dE_d_hat / rc)[None] * nor                      # (3, C)
         mu_fn = -mu * dE_d_hat / rc
         f1_over = jnp.where(vt_norm < 1.0, 2.0 - vt_norm,
                             1.0 / jnp.clip(vt_norm, 1e-12, None))
-        g = g + mu_fn * (f1_over + nu) * vt
+        g = g + (mu_fn * (f1_over + nu))[None] * vt
         h_vt = self._h_vt(vt_norm)
         dbarrier = 2.0 / dp
         ddcdp = (dp - dc) / (dp * dp)
         d2E = -(barrier + dc / dp) - dc * (dbarrier + ddcdp)
-        g = g + (-mu * self.dt * h_vt * d2E / (rc * rc)) * nor
-        return coeff * jnp.where(active, g, 0.0)
+        g = g + (-mu * self.dt * h_vt * d2E / (rc * rc))[None] * nor
+        return coeff * jnp.where(active[None], g, 0.0).T
 
     # -- hessian diag blocks (ref :366) → (C, 3, 3) --
     def hessian(self, contacts: Contacts, dx=None, coeff=1.0, zq=None):
@@ -680,38 +697,37 @@ class Collision:
         mu = self.friction
         nu = self.friction_fluid
         dt = self.dt
-        rc2 = (rc * rc)[..., None]
+        rc2 = rc * rc                                        # (C,)
+        B = lambda s: s[None, None]  # (C,) scalar → (1, 1, C)  # noqa: E731
 
         dbarrier = 2.0 / dp
         ddcdp = (dp - dc) / (dp * dp)
         d2E = -(barrier + dc / dp) - dc * (dbarrier + ddcdp)
-        nn = nor[:, :, None] * nor[:, None, :]
-        h = d2E[..., None] / rc2 * nn
+        nn = nor[:, None] * nor[None]                        # (3, 3, C)
+        h = B(d2E / rc2) * nn
 
         mu_fn = -mu * dE_d_hat / rc
         mu_fn_p = -mu * d2E / rc
         f1_over = jnp.where(vt_norm < 1.0, 2.0 - vt_norm,
                             1.0 / jnp.clip(vt_norm, 1e-12, None))
         f1_nu = f1_over + nu
-        eye = jnp.eye(3, dtype=nor.dtype)
+        eye = jnp.eye(3, dtype=nor.dtype)[:, :, None]
         tangent_proj = eye - nn
         eps = 1e-4
-        vv = vt[:, :, None] * vt[:, None, :]
+        vv = vt[:, None] * vt[None]                          # (3, 3, C)
 
         near_zero = vt_norm < eps
         stick = (vt_norm >= eps) & (vt_norm < 1.0)
         vt_safe = jnp.clip(vt_norm, eps, None)
-        h_nz = mu_fn[..., None] / dt * f1_nu[..., None] * tangent_proj
-        h_stick = mu_fn[..., None] / dt * (
-            f1_nu[..., None] * tangent_proj - vv / (vt_safe[..., None] * dt))
+        h_nz = B(mu_fn / dt * f1_nu) * tangent_proj
+        h_stick = B(mu_fn / dt) * (
+            B(f1_nu) * tangent_proj - vv / B(vt_safe * dt))
         f1_p = -1.0 / (vt_safe ** 2)
-        h_slip = mu_fn[..., None] * (
-            f1_p[..., None] / (vt_safe[..., None] * dt) * vv
-            + f1_nu[..., None] / dt * tangent_proj)
-        h = h + jnp.where(near_zero[..., None], h_nz,
-                          jnp.where(stick[..., None], h_stick, h_slip))
-        h = h + mu_fn_p[..., None] * f1_nu[..., None] / rc[..., None] \
-            * (vt[:, :, None] * nor[:, None, :])
+        h_slip = B(mu_fn) * (
+            B(f1_p / (vt_safe * dt)) * vv + B(f1_nu / dt) * tangent_proj)
+        h = h + jnp.where(B(near_zero), h_nz,
+                          jnp.where(B(stick), h_stick, h_slip))
+        h = h + B(mu_fn_p * f1_nu / rc) * (vt[:, None] * nor[None])
 
         h_vt = self._h_vt(vt_norm)
         h_vt_p = jnp.where(vt_norm < 1.0,
@@ -722,13 +738,14 @@ class Collision:
         df = dbarrier - dc / (dp * dp)
         dg = d2barrier + dddcdp
         d3E = -df - dg * dc - (dbarrier + ddcdp)
-        dvtn = jnp.where(vt_norm > eps, vt / (vt_safe * dt), 0.0)
-        chain = -mu * dt / rc2
+        dvtn = jnp.where((vt_norm > eps)[None], vt / (vt_safe * dt)[None],
+                         0.0)                                # (3, C)
+        chain = B(-mu * dt / rc2)
         h = h + chain * (
-            d2E[..., None] * h_vt_p[..., None]
-            * (nor[:, :, None] * dvtn[:, None, :])
-            + (h_vt * d3E / rc)[..., None] * nn)
-        return coeff * jnp.where(active[..., None], h, 0.0)
+            B(d2E * h_vt_p) * (nor[:, None] * dvtn[None])
+            + B(h_vt * d3E / rc) * nn)
+        h = coeff * jnp.where(B(active), h, 0.0)
+        return jnp.transpose(h, (2, 0, 1))
 
     # -- q-form pullbacks: J^T g and J^T H J without materializing J --
     @staticmethod
@@ -763,16 +780,16 @@ class Collision:
         """Per-DOF Armijo step clamp in the RAW basis, from the q-form.
         ``dzq`` (D,) raw-basis Newton direction; ``zq`` (D,) raw-basis DOF
         delta since detection."""
-        nor = contacts.normals
-        dz2 = _z_mat(dzq)
-        qa = _q_factor(contacts.wa, contacts.xa)
-        qb = _q_factor(contacts.wb, contacts.xb)
-        delta_d_a = jnp.sum(nor * (qa @ dz2), axis=-1)       # (C,)
-        delta_d_b = -jnp.sum(nor * (qb @ dz2), axis=-1)
+        nor_t = contacts.normals.T                           # (3, C)
+        dz2t = _z_mat(dzq).T                                 # (3, 4H)
+        qa_t = _q_factor_t(contacts.wa, contacts.xa)         # (4H, C)
+        qb_t = _q_factor_t(contacts.wb, contacts.xb)
+        delta_d_a = jnp.sum(nor_t * (dz2t @ qa_t), axis=0)   # (C,)
+        delta_d_b = -jnp.sum(nor_t * (dz2t @ qb_t), axis=0)
 
-        offset, rc = self._offset_rc(contacts, zq=zq)
-        rp = self.collision_barrier_ratio * rc[:, 0]
-        gap_cur = rp - jnp.sum(offset * nor, axis=-1)
+        offset_t, rc = self._offset_rc_t(contacts, zq=zq)
+        rp = self.collision_barrier_ratio * rc
+        gap_cur = rp - jnp.sum(offset_t * nor_t, axis=0)
         ok = (gap_cur < 0.0) & contacts.valid
         max_delta_d = 0.5 * 0.75 * gap_cur
 
@@ -784,8 +801,8 @@ class Collision:
 
         t_a = tmax(delta_d_a)
         t_b = tmax(delta_d_b)
-        b_a = jnp.min(jnp.where(qa != 0.0, t_a[:, None], 1.0), axis=0)
-        b_b = jnp.min(jnp.where(qb != 0.0, t_b[:, None], 1.0), axis=0)
+        b_a = jnp.min(jnp.where(qa_t != 0.0, t_a[None], 1.0), axis=1)
+        b_b = jnp.min(jnp.where(qb_t != 0.0, t_b[None], 1.0), axis=1)
         b4 = jnp.minimum(b_a, b_b)                           # (4H,)
         h = b4.shape[0] // 4
         bounds = jnp.broadcast_to(b4.reshape(h, 1, 4), (h, 3, 4))
