@@ -8,18 +8,19 @@ Fixed-shape design for XLA. Three broad phases share one narrow phase:
 
 * ``dense`` — the (N, N) pairwise-distance mask; simplest, exact, O(N²).
 * ``grid`` — the TPU answer to the reference's ``wp.HashGrid`` (ref :641):
-  a DENSE cell grid. Points are binned into (Gx, Gy, Gz, K) slots with one
-  unique-index row scatter; every candidate pair is produced by comparing
-  the slot block against 13 half-stencil neighbor blocks + the in-cell
-  upper triangle, all materialized by STATIC padded slices — zero
-  data-dependent gathers (XLA gathers cost a ~2 ms fixed floor on TPU and
-  scale badly with row width; the previous hash-grid fetch was 470 ms of a
-  510 ms step at N=10.7k). Per-slot candidate lists are compacted to a
-  fixed ``slot_contact_capacity`` by cumsum-rank masked reductions (pure
-  VPU math), then brought to particle-major layout with a single narrow
-  row gather. Contacts stay in the padded (N, K2) layout — no global
-  ``nonzero`` compaction at all (``nonzero`` costs ~3 ms fixed + ~8 ms/M
-  on TPU).
+  a DENSE cell grid. Points are binned into K slots per cell with one
+  unique-index scatter; every candidate pair is produced by comparing the
+  cell's slots against 13 half-stencil neighbor blocks + the in-cell upper
+  triangle, all materialized by STATIC padded slices — zero data-dependent
+  gathers (XLA gathers are latency-bound on TPU; the earlier
+  searchsorted-run hash grid spent 470 ms of a 510 ms step fetching
+  candidates at N=10.7k). The narrow-phase masks write partner ids
+  straight into a (slots, 14K) table (exact counts, no per-block caps);
+  compaction to the per-particle (N, K2) lists happens particle-major
+  after one narrow row gather. No global ``nonzero`` anywhere. All heavy
+  arrays keep the channel/K axes leading and the large cell/contact axis
+  minor so VPU tiles don't pad 8- or 3-wide minors to 128 lanes (the same
+  layout rule as flexicubes/dense.py, measured 5-20x there).
 * ``sweep`` — sort-and-window sweep-and-prune along the longest axis.
 
 Contact jacobians are never materialized. Every contact row of the LBS

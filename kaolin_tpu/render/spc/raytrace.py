@@ -169,11 +169,29 @@ def _raytrace_perray(octree, exsum, origin, direction, level, slots):
                 + (direction[:, 2] < 0).astype(jnp.int32))  # (R,)
     octant = jnp.arange(8, dtype=jnp.int32)
 
+    # combined per-node record (prev_exsum << 8 | child_mask): ONE (R, K)
+    # gather per level instead of two (byte + exsum base). prev_exsum[i] is
+    # exactly the `base` the old code computed (0 for the root). Fits int32
+    # whenever 8 * num_nodes < 2^23 (any realistic SPC; guarded statically).
+    oc = octree.astype(jnp.int32) & 0xFF
+    prev_ex = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), exsum[:-1].astype(jnp.int32)])
+    combine_nodes = 8 * octree.shape[0] < (1 << 23)
+    node_tab = (prev_ex << 8) | oc if combine_nodes else None
+
+    # cell coords ride packed as x | y<<10 | z<<20 (10-bit fields hold any
+    # level <= 10 with no cross-field carry in the *2+off child update);
+    # unpacking is 5 int ops vs the 3*(l+1)*3-op morton decode per level
+    packed_ok = level <= 10
+
+    def unpack(pc):
+        return jnp.stack([pc & 1023, (pc >> 10) & 1023, pc >> 20], axis=-1)
+
     root_hit, _, _ = _ray_aabb(origin, inv_dir,
                                jnp.full((num_rays, 3), -1.0, dtype),
                                jnp.full((num_rays, 3), 1.0, dtype))
     nidx = jnp.zeros((num_rays, k), jnp.int32)
-    morton = jnp.zeros((num_rays, k), jnp.int32)
+    pc = jnp.zeros((num_rays, k), jnp.int32)     # packed coords (or morton)
     valid = jnp.zeros((num_rays, k), bool).at[:, 0].set(root_hit)
     overflowed = jnp.asarray(False)
 
@@ -190,12 +208,25 @@ def _raytrace_perray(octree, exsum, origin, direction, level, slots):
     big = jnp.int32(8 * k)
     for l in range(level):
         cell = 2.0 / (2 ** (l + 1))
-        byte = octree[jnp.where(valid, nidx, 0)].astype(jnp.int32)  # (R, K)
+        safe_n = jnp.where(valid, nidx, 0)
+        if combine_nodes:
+            rec = node_tab[safe_n]                             # (R, K)
+            byte = rec & 0xFF
+            base = rec >> 8
+        else:
+            byte = octree[safe_n].astype(jnp.int32)
+            base = jnp.where(nidx > 0, exsum[jnp.clip(nidx - 1, 0, None)], 0)
         child_oct = (octant[None, None, :]
                      ^ neg_mask[:, None, None])                # (R, K, 8)
         has_child = ((byte[..., None] >> child_oct) & 1) == 1
-        child_m = (morton[..., None] << 3) | child_oct         # (R, K, 8)
-        coords = decode_morton(child_m, l + 1)                 # (R, K, 8, 3)
+        if packed_ok:
+            child_off = ((child_oct >> 2) & 1) \
+                | (((child_oct >> 1) & 1) << 10) | ((child_oct & 1) << 20)
+            child_pc = (pc[..., None] << 1) + child_off        # (R, K, 8)
+            coords = unpack(child_pc)                          # (R, K, 8, 3)
+        else:
+            child_pc = (pc[..., None] << 3) | child_oct        # morton
+            coords = decode_morton(child_pc, l + 1)
         bmin = coords.astype(dtype) * cell - 1.0
         hit, _, _ = _ray_aabb(origin[:, None, None, :],
                               inv_dir[:, None, None, :], bmin, bmin + cell)
@@ -204,7 +235,6 @@ def _raytrace_perray(octree, exsum, origin, direction, level, slots):
         below = byte[..., None] & ((1 << child_oct) - 1)
         popc = jax.lax.population_count(below.astype(jnp.uint32)) \
             .astype(jnp.int32)
-        base = jnp.where(nidx > 0, exsum[jnp.clip(nidx - 1, 0, None)], 0)
         child_n = base[..., None] + popc + 1                   # (R, K, 8)
 
         flat_cand = cand.reshape(num_rays, k * 8)
@@ -215,16 +245,27 @@ def _raytrace_perray(octree, exsum, origin, direction, level, slots):
                         jax.lax.broadcasted_iota(jnp.int32,
                                                  (num_rays, k * 8), 1),
                         big)
-        key_s, m_s, n_s = jax.lax.sort(
-            (key, child_m.reshape(num_rays, k * 8),
+        key_s, p_s, n_s = jax.lax.sort(
+            (key, child_pc.reshape(num_rays, k * 8),
              child_n.reshape(num_rays, k * 8)),
             dimension=-1, num_keys=1)
         nidx = n_s[:, :k]
-        morton = m_s[:, :k]
+        pc = p_s[:, :k]
         valid = key_s[:, :k] < big
 
     cell = 2.0 / (2 ** level)
-    coords = decode_morton(morton, level)
+    if packed_ok:
+        coords = unpack(pc)
+        # re-encode morton for the public contract (callers may correlate
+        # nuggets with ops.spc points_to_morton)
+        morton = jnp.zeros_like(pc)
+        for b in range(level):
+            morton = morton | ((((pc >> b) & 1) << (3 * b + 2))
+                               | (((pc >> (10 + b)) & 1) << (3 * b + 1))
+                               | (((pc >> (20 + b)) & 1) << (3 * b)))
+    else:
+        coords = decode_morton(pc, level)
+        morton = pc
     bmin = coords.astype(dtype) * cell - 1.0
     _, t_in, t_out = _ray_aabb(origin[:, None, :], inv_dir[:, None, :],
                                bmin, bmin + cell)
