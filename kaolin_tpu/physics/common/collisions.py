@@ -569,40 +569,43 @@ class Collision:
         swap = (cp_is_static[ia] == 1) & (cp_is_static[ib] == 0)
         ia, ib = (jnp.where(swap, ib, ia), jnp.where(swap, ia, ib))
 
-        # one combined per-side fetch: [cur(3), x0(3), static, w(H)?]
+        # one combined per-side fetch: [cur(3), x0(3), static, w(H)?]; the
+        # fetch is row-major (gather/one-hot friendly), then ONE transpose
+        # puts channels leading so the per-pair math runs with contacts on
+        # the 128-lane minor axis
         chans = [cur, cp_x0, cp_is_static.astype(cur.dtype)[:, None]]
         if weights is not None:
             chans.append(weights.astype(cur.dtype))
         table = jnp.concatenate(chans, axis=1)
-        both = self._fetch_rows(table, jnp.concatenate([ia, ib]))
-        ra, rb = both[:ia.shape[0]], both[ia.shape[0]:]
+        both = self._fetch_rows(table, jnp.concatenate([ia, ib])).T
+        ra, rb = both[:, :ia.shape[0]], both[:, ia.shape[0]:]  # (ch, C)
 
-        pos_a, pos_b = ra[:, 0:3], rb[:, 0:3]
-        stat_a = ra[:, 6] > 0.5
-        stat_b = rb[:, 6] > 0.5
-        diff = pos_a - pos_b
-        nrm = diff / jnp.clip(jnp.linalg.norm(diff, axis=-1, keepdims=True),
-                              1e-12, None)
+        pos_a, pos_b = ra[0:3], rb[0:3]
+        stat_a = ra[6] > 0.5
+        stat_b = rb[6] > 0.5
+        diff = pos_a - pos_b                                   # (3, C)
+        nrm = diff / jnp.clip(
+            jnp.sqrt(jnp.sum(diff * diff, axis=0))[None], 1e-12, None)
         # pos_delta is zero at detection time (ref :671: pos_delta = zeros)
-        gaps = jnp.sum(diff * nrm, axis=-1, keepdims=True) * nrm
+        gaps = jnp.sum(diff * nrm, axis=0)[None] * nrm         # (3, C)
 
         a_on = valid & ~stat_a
         b_on = valid & ~stat_b
         indices_a = jnp.where(a_on, ia, NULL)
         indices_b = jnp.where(b_on, ib, NULL)
         if weights is not None:
-            one = jnp.ones_like(ra[:, :1])
-            wa = jnp.where(a_on[:, None], ra[:, 7:], 0.0)
-            wb = jnp.where(b_on[:, None], rb[:, 7:], 0.0)
-            xa = jnp.concatenate([ra[:, 3:6], one], axis=1)
-            xb = jnp.concatenate([rb[:, 3:6], one], axis=1)
+            one = jnp.ones_like(ra[:1])
+            wa = jnp.where(a_on[None], ra[7:], 0.0).T
+            wb = jnp.where(b_on[None], rb[7:], 0.0).T
+            xa = jnp.concatenate([ra[3:6], one], axis=0).T
+            xb = jnp.concatenate([rb[3:6], one], axis=0).T
             dx0 = None
         else:
             wa = wb = xa = xb = None
             dx0 = cp_dx
-        return Contacts(indices_a=indices_a, indices_b=indices_b, normals=nrm,
-                        kinematic_gaps=gaps, valid=valid, dx0=dx0,
-                        wa=wa, wb=wb, xa=xa, xb=xb)
+        return Contacts(indices_a=indices_a, indices_b=indices_b,
+                        normals=nrm.T, kinematic_gaps=gaps.T, valid=valid,
+                        dx0=dx0, wa=wa, wb=wb, xa=xa, xb=xb)
 
     # -- per-contact geometry --
     # Channels-first internals: all (C, 3)-shaped quantities are computed as
