@@ -161,9 +161,10 @@ def test_grid_scales_to_50k_points():
     elapsed = time.perf_counter() - t0
     num = int(np.sum(np.asarray(c.valid)))
     assert num > 1000, f"expected many contacts at this density, got {num}"
-    # bounded compiled-CPU time, generous for suite contention (the TPU
-    # number is the real perf gate, tracked in bench.py)
-    assert elapsed < 20.0, f"grid detection took {elapsed:.2f}s at N=50k"
+    # sanity bound only — generous because the full suite runs 8 virtual
+    # devices on shared CPUs (the TPU number is the real perf gate,
+    # tracked in bench.py / bench_scale.py)
+    assert elapsed < 60.0, f"grid detection took {elapsed:.2f}s at N=50k"
 
 
 # ---- product integration: the grid phase through SimplicitsScene ----
