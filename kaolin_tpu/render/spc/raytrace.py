@@ -137,22 +137,25 @@ def _raytrace_fixed(octree, exsum, origin, direction, level, capacity,
             else jnp.zeros((0,), jnp.int32), overflowed)
 
 
-@functools.partial(jax.jit, static_argnames=("level", "slots"))
-def _raytrace_perray(octree, exsum, origin, direction, level, slots):
+@functools.partial(jax.jit, static_argnames=("level", "slots", "compaction"))
+def _raytrace_perray(octree, exsum, origin, direction, level, slots,
+                     compaction="sort"):
     """Per-ray fixed-slot BFS traversal — the TPU-fast path.
 
     The capacity-buffer formulation above compacts ALL rays' candidates with
     one global ``jnp.nonzero`` per level (a full-capacity scan + scatter,
     ~8x capacity elements touched per level). Here every ray owns ``slots``
     (K) active-node slots: each level expands (R, K) nodes to (R, K*8)
-    children and compacts *within each row* by a lane-local sort on the
-    front-to-back slot order — no cross-ray communication, no global scans,
-    work ∝ R*K*8 per level with tiny constants. For closed surfaces a ray
-    pierces O(1) cells per level, so K stays ~8-32 regardless of resolution.
+    children and compacts *within each row* — no cross-ray communication,
+    no global scans, work ∝ R*K*8 per level with tiny constants. For closed
+    surfaces a ray pierces O(1) cells per level, so K stays ~8-32 regardless
+    of resolution.
 
-    Node cell coords ride along as morton codes (child = (m << 3) | octant,
-    matching ops.spc points_to_morton bit order), decoded only for the AABB
-    test.
+    ``compaction`` selects the row-local compaction: ``"sort"`` (one
+    ``lax.sort`` over the K·8-wide row per level) or ``"rank"`` (cumsum
+    rank + K masked reductions — fewer passes than a bitonic sort's ~log²
+    stages when K is small; both produce the identical front-to-back
+    order).
 
     Returns (nidx (R, K) int32, morton (R, K) int32, t_in (R, K),
     t_out (R, K), valid (R, K) bool, overflowed bool) — per-ray nuggets in
@@ -241,17 +244,31 @@ def _raytrace_perray(octree, exsum, origin, direction, level, slots):
         count = jnp.sum(flat_cand.astype(jnp.int32), axis=-1)  # per ray
         overflowed = overflowed | jnp.any(count > k)
         # row-local front-to-back order: slot-major then octant order
-        key = jnp.where(flat_cand,
-                        jax.lax.broadcasted_iota(jnp.int32,
-                                                 (num_rays, k * 8), 1),
-                        big)
-        key_s, p_s, n_s = jax.lax.sort(
-            (key, child_pc.reshape(num_rays, k * 8),
-             child_n.reshape(num_rays, k * 8)),
-            dimension=-1, num_keys=1)
-        nidx = n_s[:, :k]
-        pc = p_s[:, :k]
-        valid = key_s[:, :k] < big
+        if compaction == "rank":
+            rank = jnp.cumsum(flat_cand.astype(jnp.int32), axis=-1)
+            flat_pc = child_pc.reshape(num_rays, k * 8)
+            flat_n = child_n.reshape(num_rays, k * 8)
+            pc_cols, n_cols = [], []
+            for j in range(k):
+                sel = flat_cand & (rank == j + 1)
+                pc_cols.append(jnp.sum(jnp.where(sel, flat_pc, 0), axis=-1))
+                n_cols.append(jnp.sum(jnp.where(sel, flat_n, 0), axis=-1))
+            nidx = jnp.stack(n_cols, axis=-1)
+            pc = jnp.stack(pc_cols, axis=-1)
+            valid = (jnp.arange(k, dtype=jnp.int32)[None, :]
+                     < jnp.minimum(count, k)[:, None])
+        else:
+            key = jnp.where(flat_cand,
+                            jax.lax.broadcasted_iota(jnp.int32,
+                                                     (num_rays, k * 8), 1),
+                            big)
+            key_s, p_s, n_s = jax.lax.sort(
+                (key, child_pc.reshape(num_rays, k * 8),
+                 child_n.reshape(num_rays, k * 8)),
+                dimension=-1, num_keys=1)
+            nidx = n_s[:, :k]
+            pc = p_s[:, :k]
+            valid = key_s[:, :k] < big
 
     cell = 2.0 / (2 ** level)
     if packed_ok:

@@ -74,6 +74,15 @@ class PointSamples(TensorContainerBase):
     # -- concatenation (ref :369) --
     @classmethod
     def cat(cls, models, skip_errors=False, **kwargs):
+        """Concatenate along the point dimension. Any stored ``transform``
+        is baked (``as_transformed``) before concatenation — the result
+        always has ``transform=None`` (ref :383-384)."""
+        if len(models) == 0:
+            raise ValueError("cat requires at least one model")
+        models = [m.as_transformed() if m.transform is not None else m
+                  for m in models]
+        if len(models) == 1:
+            return models[0]
         out_kwargs = {}
         for a in cls.class_point_attributes():
             vals = [getattr(m, a, None) for m in models]

@@ -210,3 +210,24 @@ def test_overflow_report_and_autogrow(spc):
             max_nuggets=max(need // 4, 1))
     assert any("overflow" in str(r.message) for r in rec)
     assert len(np.asarray(ridx_tr)) <= len(np.asarray(ridx_big))
+
+
+def test_perray_compaction_modes_identical(spc):
+    """sort- and rank-based row compaction produce identical traversals."""
+    import numpy as np
+    from kaolin_tpu.render.spc.raytrace import _raytrace_perray
+
+    octree, _ph, _pyr, exsum, _pts, level = spc
+    rng = np.random.RandomState(0)
+    n = 128
+    origin = jnp.asarray(rng.uniform(-2.5, -1.5, (n, 3)), jnp.float32)
+    direction = jnp.asarray(rng.uniform(0.2, 1.0, (n, 3)), jnp.float32)
+    direction = direction / jnp.linalg.norm(direction, axis=1, keepdims=True)
+    a = _raytrace_perray(octree, exsum, origin, direction, level, 32,
+                         compaction="sort")
+    b = _raytrace_perray(octree, exsum, origin, direction, level, 32,
+                         compaction="rank")
+    np.testing.assert_array_equal(np.asarray(a[4]), np.asarray(b[4]))  # valid
+    v = np.asarray(a[4])
+    for i in (0, 1, 2, 3):  # nidx, morton, t_in, t_out agree where valid
+        np.testing.assert_array_equal(np.asarray(a[i])[v], np.asarray(b[i])[v])
