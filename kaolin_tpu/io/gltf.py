@@ -193,8 +193,10 @@ def _material_to_pbr(gltf, buffers, root, mat):
     return PBRMaterial(**kwargs)
 
 
-def _node_transforms(gltf):
-    """World 4x4 transform per node (column-vector convention)."""
+def _node_transforms(gltf, scene=None):
+    """World 4x4 transform per node (column-vector convention). Returns
+    (world, reachable): ``reachable`` is the set of node indices in the
+    selected scene's graph (default scene when ``scene`` is None)."""
     nodes = gltf.get("nodes", [])
     world = [None] * len(nodes)
 
@@ -224,25 +226,32 @@ def _node_transforms(gltf):
             visit(c, world[i])
 
     scenes = gltf.get("scenes", [{}])
-    roots = scenes[gltf.get("scene", 0)].get("nodes", list(range(len(nodes))))
+    scene_idx = gltf.get("scene", 0) if scene is None else int(scene)
+    roots = scenes[scene_idx].get("nodes", list(range(len(nodes))))
     for r in roots:
         visit(r, np.eye(4))
+    reachable = {i for i, w in enumerate(world) if w is not None}
     for i in range(len(nodes)):
         if world[i] is None:
             world[i] = local(nodes[i])
-    return world
+    return world, reachable
 
 
-def import_meshes(path):
-    """All meshes in the file → list of SurfaceMesh (world-transformed)."""
+def import_meshes(path, scene=None):
+    """All meshes in the file → list of SurfaceMesh (world-transformed).
+    With ``scene`` given (an index into the glTF ``scenes`` array), only
+    meshes reachable from that scene's node graph are returned
+    (ref :373: scene selects an animation-specific frame)."""
     gltf, bin_chunk = _load_gltf(path)
     root = os.path.dirname(path)
     buffers = _load_buffers(gltf, bin_chunk, root)
-    world = _node_transforms(gltf)
+    world, reachable = _node_transforms(gltf, scene=scene)
 
     out = []
     for ni, node in enumerate(gltf.get("nodes", [])):
         if "mesh" not in node:
+            continue
+        if scene is not None and ni not in reachable:
             continue
         mesh_def = gltf["meshes"][node["mesh"]]
         for prim in mesh_def.get("primitives", []):
@@ -281,10 +290,12 @@ def import_meshes(path):
     return out
 
 
-def import_mesh(path):
+def import_mesh(path, scene=None):
     """Merged mesh of a glTF file (all primitives concatenated into one
-    unbatched SurfaceMesh, like the reference). Ref :368."""
-    meshes = import_meshes(path)
+    unbatched SurfaceMesh, like the reference). ``scene`` selects a glTF
+    scene index (animation frame); default = the file's default scene.
+    Ref :368-392."""
+    meshes = import_meshes(path, scene=scene)
     if not meshes:
         raise ValueError(f"no triangle meshes in {path}")
     if len(meshes) == 1:

@@ -153,3 +153,50 @@ def test_specular_glossiness_textures(tmp_path):
     np.testing.assert_allclose(
         np.asarray(m.roughness_texture),
         1.0 - (sg[..., 3:4].transpose(2, 0, 1) / 255.0) * 0.5, atol=1e-6)
+
+
+def test_import_mesh_scene_selection(tmp_path):
+    """``scene=`` restricts import to that scene's node graph (ref :368-392:
+    scene index selects an animation-specific frame)."""
+    import base64
+    import json
+
+    import numpy as np
+
+    from kaolin_tpu.io import gltf as G
+
+    verts0 = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    verts1 = verts0 + 10.0
+    tris = np.array([0, 1, 2], np.uint16)
+    b = verts0.tobytes() + verts1.tobytes() + tris.tobytes()
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}, {"nodes": [1]}],
+        "nodes": [{"mesh": 0}, {"mesh": 1}],
+        "meshes": [
+            {"primitives": [{"attributes": {"POSITION": 0}, "indices": 2}]},
+            {"primitives": [{"attributes": {"POSITION": 1}, "indices": 2}]}],
+        "buffers": [{"uri": "data:application/octet-stream;base64,"
+                     + base64.b64encode(b).decode(), "byteLength": len(b)}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 36},
+            {"buffer": 0, "byteOffset": 36, "byteLength": 36},
+            {"buffer": 0, "byteOffset": 72, "byteLength": 6}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3,
+             "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5126, "count": 3,
+             "type": "VEC3"},
+            {"bufferView": 2, "componentType": 5123, "count": 3,
+             "type": "SCALAR"}],
+    }
+    p = tmp_path / "two_scenes.gltf"
+    p.write_text(json.dumps(doc))
+    m0 = G.import_mesh(str(p), scene=0)
+    m1 = G.import_mesh(str(p), scene=1)
+    assert float(np.asarray(m0.vertices).max()) <= 1.0
+    assert float(np.asarray(m1.vertices).min()) >= 10.0
+    # default scene = file's "scene" entry
+    mdef = G.import_mesh(str(p))
+    assert float(np.asarray(mdef.vertices).max()) <= 1.0
