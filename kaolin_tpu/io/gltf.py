@@ -226,7 +226,8 @@ def _node_transforms(gltf, scene=None):
             visit(c, world[i])
 
     scenes = gltf.get("scenes", [{}])
-    scene_idx = gltf.get("scene", 0) if scene is None else int(scene)
+    scene_idx = (gltf.get("scene", 0) if scene in (None, "default")
+                 else int(scene))
     roots = scenes[scene_idx].get("nodes", list(range(len(nodes))))
     for r in roots:
         visit(r, np.eye(4))
@@ -239,9 +240,10 @@ def _node_transforms(gltf, scene=None):
 
 def import_meshes(path, scene=None):
     """All meshes in the file → list of SurfaceMesh (world-transformed).
-    With ``scene`` given (an index into the glTF ``scenes`` array), only
-    meshes reachable from that scene's node graph are returned
-    (ref :373: scene selects an animation-specific frame)."""
+    ``scene=None`` imports every mesh regardless of scene membership (ref
+    ``import_meshes`` :465); an int (or ``"default"``) restricts to meshes
+    reachable from that scene's node graph (ref :373: scene selects an
+    animation-specific frame)."""
     gltf, bin_chunk = _load_gltf(path)
     root = os.path.dirname(path)
     buffers = _load_buffers(gltf, bin_chunk, root)
@@ -295,7 +297,8 @@ def import_mesh(path, scene=None):
     unbatched SurfaceMesh, like the reference). ``scene`` selects a glTF
     scene index (animation frame); default = the file's default scene.
     Ref :368-392."""
-    meshes = import_meshes(path, scene=scene)
+    meshes = import_meshes(path,
+                           scene="default" if scene is None else scene)
     if not meshes:
         raise ValueError(f"no triangle meshes in {path}")
     if len(meshes) == 1:
