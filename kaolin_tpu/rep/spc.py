@@ -34,6 +34,25 @@ class Spc:
         octrees, lengths, features = feature_grids_to_spc(feature_grids, masks)
         return cls(octrees, lengths), features
 
+    @classmethod
+    def from_list(cls, octrees_list):
+        """Batch a list of single octree byte tensors. Ref :232."""
+        if len(octrees_list) == 0:
+            raise ValueError("from_list requires at least one octree")
+        octs = [jnp.asarray(o, jnp.uint8).reshape(-1) for o in octrees_list]
+        lengths = jnp.asarray([o.shape[0] for o in octs], jnp.int32)
+        return cls(jnp.concatenate(octs), lengths)
+
+    @classmethod
+    def make_dense(cls, level):
+        """Fully-dense octree of ``level`` subdivisions (every node has all
+        8 children): sum_{l<level} 8^l bytes of 0xFF. Ref :144."""
+        if level <= 0:
+            raise ValueError("level must be positive")
+        num_nodes = sum(8 ** l for l in range(level))
+        octree = jnp.full((num_nodes,), 0xFF, jnp.uint8)
+        return cls(octree, jnp.asarray([num_nodes], jnp.int32))
+
     def _apply_scan_octrees(self):
         from kaolin_tpu.ops.spc import scan_octrees
         max_level, pyramids, exsum = scan_octrees(self.octrees, self.lengths)

@@ -109,3 +109,33 @@ def test_tetmesh_metrics_parity():
                                         torch.as_tensor(inverse_offset))
     np.testing.assert_allclose(np.asarray(mine_am), want_am.numpy(),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_spc_from_list_batches():
+    from kaolin_tpu.ops.spc import unbatched_points_to_octree
+
+    pts1 = jnp.asarray(np.array([[0, 0, 0], [3, 3, 3]], np.int16))
+    pts2 = jnp.asarray(np.array([[1, 2, 3]], np.int16))
+    o1 = unbatched_points_to_octree(pts1, 2)
+    o2 = unbatched_points_to_octree(pts2, 2)
+    spc = Spc.from_list([o1, o2])
+    assert spc.batch_size == 2
+    assert int(spc.lengths[0]) == o1.shape[0]
+    assert int(spc.max_level) == 2
+    # per-item pyramids match the unbatched scans
+    assert int(spc.num_points(2)[0]) == 2
+    assert int(spc.num_points(2)[1]) == 1
+    with pytest.raises(ValueError):
+        Spc.from_list([])
+
+
+def test_spc_make_dense():
+    spc = Spc.make_dense(2)
+    assert spc.batch_size == 1
+    assert int(spc.max_level) == 2
+    # dense: 8^l points at each level
+    assert int(spc.num_points(1)[0]) == 8
+    assert int(spc.num_points(2)[0]) == 64
+    assert spc.octrees.shape[0] == 1 + 8
+    with pytest.raises(ValueError):
+        Spc.make_dense(0)
