@@ -225,10 +225,17 @@ def _node_transforms(gltf, scene=None):
         for c in nodes[i].get("children", []):
             visit(c, world[i])
 
-    scenes = gltf.get("scenes", [{}])
-    scene_idx = (gltf.get("scene", 0) if scene in (None, "default")
-                 else int(scene))
-    roots = scenes[scene_idx].get("nodes", list(range(len(nodes))))
+    scenes = gltf.get("scenes")
+    if scenes is None:
+        # no scenes at all: treat parentless nodes as roots (visiting every
+        # node as a root would clobber parent-composed transforms)
+        children = {c for nd in nodes for c in nd.get("children", [])}
+        roots = [i for i in range(len(nodes)) if i not in children]
+    else:
+        scene_idx = (gltf.get("scene", 0) if scene in (None, "default")
+                     else int(scene))
+        # a scene without nodes renders nothing (glTF spec) — no fallback
+        roots = scenes[scene_idx].get("nodes", [])
     for r in roots:
         visit(r, np.eye(4))
     reachable = {i for i, w in enumerate(world) if w is not None}

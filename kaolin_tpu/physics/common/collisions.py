@@ -69,11 +69,11 @@ class Contacts(NamedTuple):
     normals: jnp.ndarray        # (C, 3)
     kinematic_gaps: jnp.ndarray  # (C, 3)
     valid: jnp.ndarray          # bool (C,)
-    dx0: Optional[jnp.ndarray]  # (N, 3) displacements at detection (legacy)
-    wa: Optional[jnp.ndarray]   # (C, H) side-a weights (0 for static/invalid)
-    wb: Optional[jnp.ndarray]
-    xa: Optional[jnp.ndarray]   # (C, 4) homogeneous rest coords
-    xb: Optional[jnp.ndarray]
+    dx0: Optional[jnp.ndarray] = None   # (N, 3) displacements at detection
+    wa: Optional[jnp.ndarray] = None    # (C, H) side-a weights (0 when
+    wb: Optional[jnp.ndarray] = None    # static/invalid)
+    xa: Optional[jnp.ndarray] = None    # (C, 4) homogeneous rest coords
+    xb: Optional[jnp.ndarray] = None
 
 
 def _q_factor(w, x):
@@ -208,19 +208,24 @@ class Collision:
             cc = np.clip(np.floor((pts - lo) / cell).astype(np.int64),
                          0, dims - 1)
             lin = (cc[:, 0] * dims[1] + cc[:, 1]) * dims[2] + cc[:, 2]
-            occ = np.bincount(lin).max() if lin.size else 1
+            # O(N) occupancy via unique (bincount would allocate
+            # O(num_cells) host memory — hundreds of GB at fine cells)
+            occ = (np.unique(lin, return_counts=True)[1].max()
+                   if lin.size else 1)
             k = int(min(128, max(8, 1 << int(np.ceil(np.log2(1.5 * occ))))))
             num_cells = int(dims.prod())
             tests = num_cells * k * 14 * k
-            table_bytes = 14 * num_cells * k * k * 4
-            return dims, k, tests, table_bytes
+            # live peak of _cellgrid_pairs ≈ blocks + stacked + transposed
+            # table + padded grid ≈ 4x the table bytes
+            peak_bytes = 4 * 14 * num_cells * k * k * 4
+            return dims, k, tests, peak_bytes
 
         best = None
         for i in range(40):   # 1.26^40 ≈ 1e4 — even degenerate bboxes land
             cell = radius * (1.26 ** i)
-            dims, k, tests, table_bytes = measure(cell)
-            fits = table_bytes <= mem_budget
-            score = (not fits, tests if fits else table_bytes)
+            dims, k, tests, peak_bytes = measure(cell)
+            fits = peak_bytes <= mem_budget
+            score = (not fits, tests if fits else peak_bytes)
             if best is None or score < best[0]:
                 best = (score, cell, dims, k)
             if int(dims.prod()) <= 4096:
@@ -276,30 +281,38 @@ class Collision:
 
     # -- narrow-phase helpers --
     def _narrow_mask(self, d2, rest_d2, obj_a, obj_b):
+        """Within detection radius and not self-collision-immune. NOTE the
+        immune test compares a SQUARED rest distance against the linear
+        ``collision_radius * ignore_self_collision_ratio`` — deliberately
+        faithful to the reference kernel (ref :66-72, :679), whose huge
+        default ratio (1e5) effectively disables self-collision; a tuned
+        ratio inherits the reference's dimensional quirk."""
         radius = self.detection_radius
         immune = (obj_a == obj_b) & (
             rest_d2 < self.collision_radius * self.ignore_self_collision_ratio)
         return (d2 <= radius * radius) & ~immune
 
-    def _pair_mask_of(self, ca, cb, cur, cp_x0, cp_obj_ids, radius):
+    def _pair_mask_of(self, ca, cb, cur, cp_x0, cp_obj_ids, radius,
+                      cp_exclude=None):
         """Exact narrow test on candidate (ca, cb) index pairs, deduped
-        (a < b). NOTE the immune test compares a SQUARED rest distance
-        against the linear ``collision_radius * ignore_self_collision_ratio``
-        — deliberately faithful to the reference kernel (ref :66-72, :679),
-        whose huge default ratio (1e5) effectively disables self-collision;
-        a tuned ratio inherits the reference's dimensional quirk."""
+        (a < b). The immune test lives in :meth:`_narrow_mask` (NOTE there
+        on its deliberately reference-faithful dimensional quirk)."""
         d2 = jnp.sum((cur[ca] - cur[cb]) ** 2, axis=-1)
         rest_d2 = jnp.sum((cp_x0[ca] - cp_x0[cb]) ** 2, axis=-1)
-        immune = (cp_obj_ids[ca] == cp_obj_ids[cb]) & (
-            rest_d2 < self.collision_radius * self.ignore_self_collision_ratio)
-        return (ca < cb) & (d2 <= radius * radius) & ~immune
+        m = (ca < cb) & self._narrow_mask(d2, rest_d2, cp_obj_ids[ca],
+                                          cp_obj_ids[cb])
+        if cp_exclude is not None:
+            m = m & ~cp_exclude[ca] & ~cp_exclude[cb]
+        return m
 
     # -- dense cell-grid broad phase --
     def _cellgrid_pairs(self, cur, cp_x0, cp_obj_ids, cp_is_static,
-                        with_diag=False):
+                        cp_exclude=None):
         """Returns particle-major padded pairs: ``(ia, ib, valid)`` of shape
         (N*K2,) plus a diagnostics dict. Zero data-dependent gathers except
-        one narrow (N, K2+2) row gather at the end."""
+        one narrow (N, 14K) row gather at the end. ``cp_exclude`` (N,) bool
+        removes points from detection entirely (no binning, no diagnostics
+        footprint) — used for heterogeneous-batch phantom padding points."""
         if self.grid_dims is None:
             if isinstance(cur, jax.core.Tracer):
                 raise RuntimeError(
@@ -318,18 +331,29 @@ class Collision:
         cellf = (cur - self.grid_origin) / self.grid_cell
         cell = jnp.clip(cellf.astype(jnp.int32), 0,
                         jnp.asarray([gx - 1, gy - 1, gz - 1], jnp.int32))
-        oob = jnp.sum(((cellf < 0) | (cellf >= jnp.asarray(
-            [gx, gy, gz], f32))).any(axis=1).astype(jnp.int32))
+        oob_mask = ((cellf < 0) | (cellf >= jnp.asarray(
+            [gx, gy, gz], f32))).any(axis=1)
+        if cp_exclude is not None:
+            oob_mask = oob_mask & ~cp_exclude
+        oob = jnp.sum(oob_mask.astype(jnp.int32))
         lin = (cell[:, 0] * gy + cell[:, 1]) * gz + cell[:, 2]
 
+        if cp_exclude is not None:
+            # excluded points sort to the end (cell id past every real one)
+            # so they never consume a real cell's capacity
+            lin = jnp.where(cp_exclude, num_cells, lin)
         order = jnp.argsort(lin).astype(jnp.int32)
         lin_s = lin[order]
+        ex_s = (lin_s >= num_cells) if cp_exclude is not None else None
         rank = (jnp.arange(n, dtype=jnp.int32)
                 - jnp.searchsorted(lin_s, lin_s, side="left"
                                    ).astype(jnp.int32))
         in_cap = rank < k
+        if ex_s is not None:
+            in_cap = in_cap & ~ex_s
         slot = jnp.where(in_cap, lin_s * k + rank, num_slots)
-        dropped = jnp.sum((~in_cap).astype(jnp.int32))
+        over = ~in_cap if ex_s is None else (~in_cap & ~ex_s)
+        dropped = jnp.sum(over.astype(jnp.int32))
 
         # packed channels: [cur(3), x0(3), meta, idx+1], CHANNELS-LEADING
         # (8, N); empty slots are all zero → idx channel 0 marks invalid.
@@ -342,11 +366,17 @@ class Collision:
         packed = jnp.concatenate(
             [cur[order].T, cp_x0[order].T, meta[None],
              (order + 1).astype(f32)[None]], axis=0)        # (8, N)
-        # K-major slot layout: flat index rank*num_cells + lin
-        slot_km = jnp.where(in_cap, rank * num_cells + lin_s, num_slots)
-        grid = jnp.zeros((8, num_slots + 1), f32).at[:, slot_km].set(
+        # K-major slot layout: flat index rank*num_cells + lin. Dropped /
+        # excluded points get DISTINCT out-of-range indices (num_slots + i)
+        # so mode="drop" discards them without violating unique_indices
+        # (a shared dump index would be undefined behavior under the
+        # uniqueness promise)
+        slot_km = jnp.where(
+            in_cap, rank * num_cells + lin_s,
+            num_slots + jnp.arange(n, dtype=jnp.int32))
+        grid = jnp.zeros((8, num_slots), f32).at[:, slot_km].set(
             packed, unique_indices=True, mode="drop")
-        g5 = grid[:, :num_slots].reshape(8, k, gx, gy, gz)
+        g5 = grid.reshape(8, k, gx, gy, gz)
         gp = jnp.pad(g5, ((0, 0), (0, 0), (1, 1), (1, 1), (1, 1)))
 
         c_pos = g5[0:3]                                     # (3, K, g,g,g)
@@ -470,26 +500,47 @@ class Collision:
         cb = windows(orderp)
         return ca, cb, mask, window_load
 
-    def _flat_pairs(self, cur, cp_x0, cp_obj_ids, cp_is_static):
+    def _flat_pairs(self, cur, cp_x0, cp_obj_ids, cp_is_static,
+                    cp_exclude=None):
         """Dispatch on ``broad_phase``; returns (ia, ib, valid, diag) flat
-        particle-index pair arrays of static shape."""
+        particle-index pair arrays of static shape. ``cp_exclude`` removes
+        points from detection entirely (heterogeneous-batch phantoms)."""
         n = cur.shape[0]
         radius = self.detection_radius
         if self.broad_phase == "grid":
-            return self._cellgrid_pairs(cur, cp_x0, cp_obj_ids, cp_is_static)
+            return self._cellgrid_pairs(cur, cp_x0, cp_obj_ids, cp_is_static,
+                                        cp_exclude=cp_exclude)
         if self.broad_phase == "sweep":
             ca, cb, mask, load = self._sweep_candidates(cur, cp_x0,
                                                         cp_obj_ids, radius)
+            if cp_exclude is not None:
+                mask = mask & ~cp_exclude[ca] & ~cp_exclude[cb]
             num_pairs = jnp.sum(mask.astype(jnp.int32))
             diag = {"num_pairs": num_pairs,
                     "contacts_overflow": num_pairs > self.max_contacts,
                     "max_window_load": jnp.max(load),
                     "window_overflow": jnp.max(load) > self.sweep_window}
+            w = mask.shape[1]
+            if w > 64:
+                # row-compact the (N, W) window to ≤64 true contacts per
+                # particle before the global nonzero, so wide windows don't
+                # inflate the extraction scan (>64 contacts on one particle
+                # would mean interpenetration far past the barrier)
+                k2 = 64
+                key = jnp.where(
+                    mask, jax.lax.broadcasted_iota(jnp.int32, (n, w), 1),
+                    jnp.int32(w))
+                key_s, cb_s = jax.lax.sort((key, cb), dimension=-1,
+                                           num_keys=1)
+                mask = key_s[:, :k2] < w
+                cb = cb_s[:, :k2]
+                ca = ca[:, :k2]
             ca, cb, mask = (a.reshape(-1) for a in (ca, cb, mask))
         else:
             ca = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0).reshape(-1)
             cb = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1).reshape(-1)
-            mask = self._pair_mask_of(ca, cb, cur, cp_x0, cp_obj_ids, radius)
+            mask = self._pair_mask_of(ca, cb, cur, cp_x0, cp_obj_ids, radius,
+                                      cp_exclude=cp_exclude)
             num_pairs = jnp.sum(mask.astype(jnp.int32))
             diag = {"num_pairs": num_pairs,
                     "contacts_overflow": num_pairs > self.max_contacts}
@@ -500,19 +551,21 @@ class Collision:
         return ca[safe], cb[safe], valid, diag
 
     def detection_diagnostics(self, cp_dx, cp_x0, cp_obj_ids,
-                              cp_is_static=None):
+                              cp_is_static=None, cp_exclude=None):
         """Capacity-overflow surfacing (jittable): ``num_pairs`` (true pair
         count), ``contacts_overflow`` (pairs were dropped), and per-phase
         keys — grid: ``slot_overflow``/``max_slot_contacts`` (a particle's
         one-sided contact list exceeded ``slot_contact_capacity``),
         ``cell_overflow``/``dropped_points`` (a cell held more than
         ``cell_capacity`` points), ``out_of_bounds`` (points clamped into
-        boundary cells); sweep: ``max_window_load``/``window_overflow``."""
+        boundary cells); sweep: ``max_window_load``/``window_overflow``.
+        ``cp_exclude``'d points leave no footprint in any count."""
         n = cp_x0.shape[0]
         if cp_is_static is None:
             cp_is_static = jnp.zeros((n,), dtype=jnp.int32)
         cur = cp_dx + cp_x0
-        _, _, _, diag = self._flat_pairs(cur, cp_x0, cp_obj_ids, cp_is_static)
+        _, _, _, diag = self._flat_pairs(cur, cp_x0, cp_obj_ids, cp_is_static,
+                                         cp_exclude=cp_exclude)
         return diag
 
     # -- row fetch: one-hot matmul vs row gather --
@@ -546,13 +599,15 @@ class Collision:
 
     # -- detection (ref :643) --
     def detect_collisions(self, cp_dx, cp_x0, cp_obj_ids, cp_is_static=None,
-                          weights=None):
+                          weights=None, cp_exclude=None):
         """Find contact pairs. Returns a :class:`Contacts` buffer (jittable).
 
         cp_dx (N, 3) current displacements; cp_x0 (N, 3) rest positions;
         cp_obj_ids (N,) int; cp_is_static (N,) int {0,1}; weights (N, H)
         global LBS skinning weights — when given, contacts carry the q-form
-        factors and the Newton loop runs gather-free.
+        factors and the Newton loop runs gather-free; cp_exclude (N,) bool
+        removes points from detection entirely (heterogeneous-batch
+        phantoms).
         """
         n = cp_x0.shape[0]
         if cp_is_static is None:
@@ -560,7 +615,8 @@ class Collision:
         cur = cp_dx + cp_x0
 
         ia, ib, valid, _ = self._flat_pairs(cur, cp_x0, cp_obj_ids,
-                                            cp_is_static)
+                                            cp_is_static,
+                                            cp_exclude=cp_exclude)
 
         # canonicalize: a static partner always sits on the b side — the
         # barrier's target distance rc and the offset formula are asymmetric

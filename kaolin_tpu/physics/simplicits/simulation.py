@@ -240,6 +240,14 @@ class SimplicitsScene:
                                            dtype=jnp.int32)
         self.qp_to_object_map = jnp.asarray(np.concatenate(qp_obj_ids),
                                             dtype=jnp.int32)
+        # phantom padding points (heterogeneous batching): excluded from
+        # collision detection entirely — they are non-physical and sit far
+        # outside the content bbox
+        self.qp_is_phantom = jnp.asarray(np.concatenate([
+            np.arange(o.num_qp) >= (o.num_qp if o.num_real_qp is None
+                                    else int(o.num_real_qp))
+            for o in objs]))
+        self._has_phantoms = bool(np.any(np.asarray(self.qp_is_phantom)))
         mask = np.ones(z0, dtype=bool)
         mask[kin_dofs] = False
         self.dyn_idx = np.nonzero(mask)[0]
@@ -471,9 +479,9 @@ class SimplicitsScene:
             raise RuntimeError("collisions are not enabled on this scene")
         col = self.force_dict["collision"]["object"]
         dx = (self.sim_B @ self.sim_z).reshape(-1, 3)
-        return col.detection_diagnostics(dx, self.sim_pts,
-                                         self.qp_to_object_map,
-                                         self.qp_is_kinematic)
+        return col.detection_diagnostics(
+            dx, self.sim_pts, self.qp_to_object_map, self.qp_is_kinematic,
+            cp_exclude=self.qp_is_phantom if self._has_phantoms else None)
 
     # ---- state ----
     def reset_scene(self):
@@ -653,6 +661,8 @@ class SimplicitsScene:
             consts["collision"] = self.force_dict["collision"]["object"]
             consts["collision_coeff"] = jnp.asarray(
                 self.force_dict["collision"]["coeff"], dtype)
+            consts["qp_is_phantom"] = (self.qp_is_phantom
+                                       if self._has_phantoms else None)
             # global block-diagonal skinning weights (N, H_total): the
             # q-form contact factors w ⊗ [x;1] are built from these at
             # detection so the Newton loop never gathers (collisions.py
@@ -687,7 +697,7 @@ class SimplicitsScene:
                 dx0 = dx_of(z)
                 contacts = collision.detect_collisions(
                     dx0, pts, c["qp_obj_ids"], c["qp_is_kin"],
-                    weights=c["col_w"])
+                    weights=c["col_w"], cp_exclude=c.get("qp_is_phantom"))
 
                 def zq_of(z_):
                     dzq = z_ - z

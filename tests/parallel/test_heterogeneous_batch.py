@@ -142,3 +142,17 @@ def test_stack_scenes_raises_helpfully_on_mismatch():
     scenes = [_scene(_baked(0, 40, 3)), _scene(_baked(1, 56, 3))]
     with pytest.raises(ValueError, match="pad_skinned_physics_points"):
         stack_scenes(scenes)
+
+
+def test_padded_scene_diagnostics_ignore_phantoms():
+    """Phantom padding points leave NO footprint in collision diagnostics:
+    no cell_overflow/dropped_points noise from the far-away phantom cluster
+    (they are excluded from detection entirely)."""
+    baked = _baked(1, num_qp=48, num_handles=3)
+    padded = pad_skinned_physics_points(baked, num_qp=90, num_handles=5)
+    scene = _scene(padded, collisions=True)
+    scene.run_sim_step()
+    diag = scene.collision_diagnostics()
+    assert not bool(diag["cell_overflow"])
+    assert int(diag["dropped_points"]) == 0
+    assert int(diag["out_of_bounds"]) == 0
