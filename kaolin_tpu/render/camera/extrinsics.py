@@ -211,10 +211,11 @@ class CameraExtrinsics:
         return out
 
     def translate(self, t):
-        """Translate the camera in world space. Ref :802."""
+        """Translate the camera in world space: cam_pos moves by +t, axes
+        unchanged (ref :802-818, ``self.t -= self.R @ t``)."""
         t = jnp.asarray(t, dtype=self.dtype).reshape(-1, 3)
         return self._update_R_t(self.R,
-                                self.t[..., 0] - jnp.einsum("cij,cj->ci", self.R, -t))
+                                self.t[..., 0] - jnp.einsum("cij,cj->ci", self.R, t))
 
     def rotate(self, yaw=None, pitch=None, roll=None):
         """Rotate in camera space by yaw (around up), pitch (around right),
