@@ -99,7 +99,7 @@ class StreamingGeometryHelper:
         snap_time = self._find_snap_time(entry["times"], target_time)
         if not self._does_snap_time_require_update(snap_time, current_time):
             return None, current_time
-        points, _ = usd.import_pointcloud(entry["path"], time=snap_time)
+        points = usd.import_pointcloud(entry["path"], time=snap_time).points
         return point_clouds_to_binary([np.asarray(points)]), snap_time
 
     def parse_encode_mesh(self, category, id, target_time, current_time=None):

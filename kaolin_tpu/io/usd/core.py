@@ -10,6 +10,7 @@ Files written here are valid USDA readable by any USD runtime.
 
 import os
 import re
+from collections import namedtuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -472,38 +473,69 @@ def import_mesh(file_path, scene_path=None, time=None):
     return meshes[0]
 
 
+pointcloud_return_type = namedtuple(
+    "pointcloud_return_type", ["points", "colors", "normals", "transform"])
+
+
+def _read_points_prim(prim, time):
+    """Points prim dict → pointcloud_return_type (ref usd/pointcloud.py:97,
+    fields points/colors/normals/transform)."""
+    default, samples = _extract_attr(prim["body"], "points")
+    key = None
+    if time is not None and samples:
+        key = min(samples, key=lambda t: abs(t - time))
+        text = samples[key]
+    else:
+        text = default or next(iter(samples.values()), None)
+    if text is None:
+        return None
+    pts = jnp.asarray(_parse_vec_array(text))
+
+    def _aux(attr):
+        d, s = _extract_attr(prim["body"], attr)
+        t = d or (s.get(key) if key is not None and s else
+                  next(iter(s.values()), None))
+        return jnp.asarray(_parse_vec_array(t)) if t else None
+
+    colors = _aux("primvars:displayColor")
+    normals = _aux("normals") or _aux("primvars:normals")
+    m = re.search(r"xformOp:transform\s*=\s*\(\s*(\(.*\))\s*\)",
+                  prim["body"], re.DOTALL)
+    transform = (jnp.asarray(_parse_vec_array(m.group(1), per=4).reshape(4, 4))
+                 if m else None)
+    return pointcloud_return_type(pts, colors, normals, transform)
+
+
 def import_pointcloud(file_path, scene_path=None, time=None):
-    """First Points prim → (points, colors or None)."""
+    """Points prim → pointcloud_return_type(points, colors, normals,
+    transform), reference-shaped (ref usd/pointcloud.py:28,97). When
+    ``scene_path`` is given only that prim matches; otherwise the first
+    Points prim in the file."""
     for prim in _parse_usda(file_path):
         if prim["type"] != "Points":
             continue
-        default, samples = _extract_attr(prim["body"], "points")
-        if time is not None and samples:
-            key = min(samples, key=lambda t: abs(t - time))
-            text = samples[key]
-        else:
-            text = default or next(iter(samples.values()), None)
-        pts = jnp.asarray(_parse_vec_array(text))
-        cd, cs = _extract_attr(prim["body"], "primvars:displayColor")
-        colors = None
-        ctext = cd or (cs.get(key) if time is not None and cs else
-                       next(iter(cs.values()), None))
-        if ctext:
-            colors = jnp.asarray(_parse_vec_array(ctext))
-        return pts, colors
-    raise ValueError(f"no Points prim in {file_path}")
+        if scene_path is not None and prim["path"] != scene_path:
+            continue
+        out = _read_points_prim(prim, time)
+        if out is not None:
+            return out
+    raise ValueError(f"no Points prim in {file_path}"
+                     + (f" at {scene_path}" if scene_path else ""))
 
 
 # ---------------- gaussian splats (ref usd/gaussians.py) ----------------
 
 def add_gaussiancloud(stage, scene_path, positions, orientations, scales,
-                      opacities, sh_coeff, local_to_world=None, time=None):
+                      opacities, sh_coeff=None, local_to_world=None,
+                      time=None):
     """Author a ``ParticleField3DGaussianSplat`` prim. Orientation input is
     (w, x, y, z); stored on disk as (x, y, z, w) quatf like the reference
     (``usd/gaussians.py:247``). sh_coeff is (N, S, 3), flattened on disk."""
     prim = stage._get_prim(scene_path, "ParticleField3DGaussianSplat")
     ori = np.asarray(orientations, dtype=np.float32)
     ori_xyzw = np.concatenate([ori[:, 1:], ori[:, :1]], axis=1)
+    if sh_coeff is None:  # DC-only: grey splats (degree 0)
+        sh_coeff = np.zeros((ori.shape[0], 1, 3), np.float32)
     sh = np.asarray(sh_coeff, dtype=np.float32)
     sh_degree = int(round(np.sqrt(sh.shape[1]))) - 1
     prim.set_attr("positions", "point3f[]", _fmt_vec_array(positions), time)
@@ -526,7 +558,7 @@ def add_gaussiancloud(stage, scene_path, positions, orientations, scales,
 
 
 def export_gaussiancloud(file_path, positions, orientations, scales,
-                         opacities, sh_coeff,
+                         opacities, sh_coeff=None,
                          scene_path="/World/Gaussians/gaussian_0",
                          local_to_world=None, time=None, up_axis="Y"):
     """Write a gaussian cloud USDA. Ref ``usd/gaussians.py:290``."""
@@ -817,21 +849,23 @@ def export_pointclouds(file_path, pointclouds, scene_paths=None, colors=None,
 
 
 def import_pointclouds(file_path, scene_paths=None, times=None):
-    """All Points prims → (list of points, list of colors). Ref :147."""
-    points, colors = [], []
+    """All (or selected) Points prims → list of pointcloud_return_type,
+    reference-shaped (ref usd/pointcloud.py:147, return_list=True)."""
+    out = []
+    i = 0
     for prim in _parse_usda(file_path):
         if prim["type"] != "Points":
             continue
-        default, samples = _extract_attr(prim["body"], "points")
-        text = default or next(iter(samples.values()), None)
-        if text is None:
+        if scene_paths is not None and prim["path"] not in scene_paths:
             continue
-        points.append(jnp.asarray(_parse_vec_array(text)))
-        cd, cs = _extract_attr(prim["body"], "primvars:displayColor")
-        ctext = cd or next(iter(cs.values()), None)
-        colors.append(jnp.asarray(_parse_vec_array(ctext))
-                      if ctext else None)
-    return points, colors
+        time = None
+        if times is not None:
+            time = times[i] if i < len(times) else times[-1]
+        cloud = _read_points_prim(prim, time)
+        if cloud is not None:
+            out.append(cloud)
+            i += 1
+    return out
 
 
 def export_voxelgrid(file_path, voxelgrid, scene_path="/World/voxelgrid",
@@ -1003,11 +1037,11 @@ def add_subset(stage, prim_path, name, indices, family_name="part",
 
 
 def import_subsets(file_path, prim_path=None, family_name=None):
-    """GeomSubsets of a prim → (dict name → int indices, dict name →
-    family). Ref :125."""
+    """GeomSubsets of a prim → dict subset name → {"indices", "family_name"}
+    (reference shape, ref usd/subset.py:125-145, keyed by name rather than
+    full USD path since this backend authors flat hierarchies)."""
     import jax.numpy as _jnp
-    subsets = {}
-    families = {}
+    out = {}
     for prim in _parse_usda(file_path):
         if prim["type"] != "GeomSubset":
             continue
@@ -1019,9 +1053,11 @@ def import_subsets(file_path, prim_path=None, family_name=None):
         if family_name is not None and fam != family_name:
             continue
         m = re.search(r"indices\s*=\s*(\[[^\]]*\])", body)
-        subsets[prim["name"]] = _jnp.asarray(_parse_int_array(m.group(1)))
-        families[prim["name"]] = fam
-    return subsets, families
+        out[prim["name"]] = {
+            "indices": _jnp.asarray(_parse_int_array(m.group(1))),
+            "family_name": fam,
+        }
+    return out
 
 
 __all__ += ["add_subset", "import_subsets"]
@@ -1081,9 +1117,9 @@ def get_mesh_prim_materials(file_path, scene_path=None, time=None):
     dict subset name → PBRMaterial (parsed from Shader prims in the same
     file). Ref ``usd/materials.py:200``."""
     out = {}
-    subsets, families = import_subsets(file_path, scene_path)
-    for name, fam in families.items():
-        if fam != "materialBind":
+    subsets = import_subsets(file_path, scene_path)
+    for name, info in subsets.items():
+        if info["family_name"] != "materialBind":
             continue
         try:
             out[name] = read_usd_preview_surface(file_path)

@@ -134,9 +134,9 @@ def test_usd_plurals_and_queries(tmp_path):
            for i in range(3)]
     f = str(tmp_path / "pc.usda")
     usd.export_pointclouds(f, pcs)
-    back, _ = usd.import_pointclouds(f)
+    back = usd.import_pointclouds(f)
     assert len(back) == 3
-    np.testing.assert_allclose(np.asarray(back[1]), pcs[1], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(back[1].points), pcs[1], atol=1e-4)
     assert len(usd.get_pointcloud_scene_paths(f)) == 3
 
     vg = np.zeros((8, 8, 8), bool)
@@ -166,12 +166,13 @@ def test_usd_geom_subsets_round_trip(tmp_path):
     assert np.asarray(mesh.vertices).shape == (6, 3)
     assert np.asarray(mesh.faces).shape == (4, 3)
 
-    subsets, families = usd.import_subsets(f, "/World/mesh")
-    assert np.asarray(subsets["part_a"]).tolist() == [0, 2]
-    assert np.asarray(subsets["mat_x"]).tolist() == [1, 3]
-    assert families == {"part_a": "part", "mat_x": "materialBind"}
-    only_mat, _ = usd.import_subsets(f, "/World/mesh",
-                                     family_name="materialBind")
+    subsets = usd.import_subsets(f, "/World/mesh")
+    assert np.asarray(subsets["part_a"]["indices"]).tolist() == [0, 2]
+    assert np.asarray(subsets["mat_x"]["indices"]).tolist() == [1, 3]
+    assert {k: v["family_name"] for k, v in subsets.items()} == {
+        "part_a": "part", "mat_x": "materialBind"}
+    only_mat = usd.import_subsets(f, "/World/mesh",
+                                  family_name="materialBind")
     assert list(only_mat) == ["mat_x"]
 
     # scene paths reflect the hierarchy

@@ -65,8 +65,8 @@ def test_timelapse_roundtrip(tmp_path):
     from kaolin_tpu.io import usd as usd_io
     m5 = usd_io.import_mesh(path, time=5)
     np.testing.assert_allclose(np.asarray(m5.vertices), v + 5, atol=1e-4)
-    pts, _ = usd_io.import_pointcloud(
-        parser.get_file_path("pointcloud", "pc", 0), time=10)
+    pts = usd_io.import_pointcloud(
+        parser.get_file_path("pointcloud", "pc", 0), time=10).points
     np.testing.assert_allclose(np.asarray(pts), v * 11, atol=1e-4)
 
 
