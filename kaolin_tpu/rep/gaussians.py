@@ -48,6 +48,13 @@ class PointSamples(TensorContainerBase):
     # -- masked indexing (ref :400, :429) --
     def __getitem__(self, mask):
         mask = np.asarray(mask)
+        # reference validation (rep/gaussians.py:409-414): boolean (N,) only
+        if mask.dtype != np.bool_:
+            raise TypeError(f"Mask must be boolean, got {mask.dtype}")
+        if mask.ndim != 1 or mask.shape[0] != len(self):
+            raise ValueError(
+                f"Mask length {mask.shape} does not match number of points "
+                f"{len(self)}")
         kwargs = {}
         for a in self.class_point_attributes():
             v = getattr(self, a, None)

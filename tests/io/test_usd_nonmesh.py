@@ -107,12 +107,22 @@ class TestGaussians:
                                  opacities)
         assert usd.get_gaussiancloud_scene_paths(path)
         out = usd.import_gaussiancloud(path)
-        np.testing.assert_allclose(np.asarray(out["positions"]),
+        np.testing.assert_allclose(np.asarray(out.positions),
                                    np.asarray(positions), atol=1e-5)
-        np.testing.assert_allclose(np.asarray(out["scales"]),
+        np.testing.assert_allclose(np.asarray(out.scales),
                                    np.asarray(scales), atol=1e-5)
-        np.testing.assert_allclose(np.asarray(out["opacities"]).reshape(-1),
+        np.testing.assert_allclose(np.asarray(out.opacities).reshape(-1),
                                    np.asarray(opacities), atol=1e-5)
+        # __getitem__ is boolean-mask selection (ref rep/gaussians.py:400-414)
+        # -- string keys must raise like the reference, not crash inside jnp
+        with pytest.raises(TypeError):
+            out["positions"]
+        keep = np.zeros(n, bool)
+        keep[:5] = True
+        sub = out[keep]
+        assert len(sub) == 5
+        np.testing.assert_allclose(np.asarray(sub.positions),
+                                   np.asarray(out.positions)[:5], atol=0)
 
 
 class TestPhysicsMaterials:
