@@ -473,10 +473,13 @@ def main():
     }
     selected = [args.component] if args.component else sorted(BARS)
 
+    import sys
     components = {}
     ratios = []
     extras = {}
     for name in selected:
+        print(f"[bench] {name}: start", file=sys.stderr, flush=True)
+        t_start = time.perf_counter()
         try:
             out = runners[name]()
         except Exception as e:  # record and keep measuring the rest
@@ -492,6 +495,9 @@ def main():
         components[name] = round(out, 2)
         ratios.append(out / BARS[name])
         components[f"{name}_vs_a100"] = round(out / BARS[name], 3)
+        print(f"[bench] {name}: {out:.2f} ({out / BARS[name]:.2f}x bar, "
+              f"{time.perf_counter() - t_start:.0f}s incl. compile)",
+              file=sys.stderr, flush=True)
 
     geomean = float(np.exp(np.mean(np.log(ratios))))
     payload = {

@@ -137,6 +137,175 @@ def _raytrace_fixed(octree, exsum, origin, direction, level, capacity,
             else jnp.zeros((0,), jnp.int32), overflowed)
 
 
+@functools.partial(jax.jit, static_argnames=("level", "capacity"))
+def _raytrace_frontier(octree, exsum, origin, direction, level, capacity):
+    """Global compacted-frontier BFS traversal — the TPU-fast path.
+
+    Work per level is proportional to the TRUE active (ray, node) count (the
+    reference CUDA loop's property, ``raytrace_cuda.cu:505-630``), not to
+    ``num_rays × slots`` (``_raytrace_perray``) nor to padded capacity
+    blow-ups (``_raytrace_fixed``).  Measured v5-lite profile notes that
+    shaped this formulation (512² rays, level-9 shell, ~860k active/level):
+
+    * every state channel is a flat ``(C,)`` int32/f32 array — NO trailing
+      small dims anywhere.  ``(C, 8)`` / ``(C, 8, 3)`` intermediates tile to
+      ``(8, 128)`` TPU lanes at 16-42x memory waste and measured 170
+      ms/level in ``_raytrace_fixed``; per-octant ``(C,)`` arrays from an
+      unrolled 8-step loop fuse cleanly instead.
+    * packed fields: cell coords ride ``x | y<<10 | z<<20`` in one int32
+      (valid for level ≤ 10), ray id and octant-visit mask share
+      ``rstate = ridx << 3 | neg``, and the per-node record
+      ``prev_exsum << 8 | child_byte`` makes the octree lookup ONE gather.
+    * compaction is one 8C-element token scatter (token = parent slot ×8 +
+      octant) + three C-element parent gathers, instead of a
+      ``jnp.nonzero`` + per-channel gathers over (C, 8)-padded buffers.
+    * the slab test is recomputed from integer coords each level (exact —
+      carrying t-intervals through the subdivision averages catastrophic
+      cancellation into them for axis-aligned rays).
+
+    Returns (ridx, nidx, t_in, t_out, valid, level_counts, overflowed) with
+    nuggets ray-major and front-to-back per ray (the visit order
+    ``child = v XOR neg`` enumerates children near-to-far along the ray).
+    """
+    num_rays = origin.shape[0]
+    dtype = origin.dtype
+    c = int(capacity)
+    if level > 10:
+        raise NotImplementedError("packed coords support level <= 10")
+    if 8 * octree.shape[0] >= (1 << 23) or c >= (1 << 27):
+        raise NotImplementedError("octree/capacity too large for packed "
+                                  "int32 records")
+
+    inv_dir = 1.0 / jnp.where(jnp.abs(direction) > 1e-12, direction,
+                              jnp.where(direction >= 0, 1e-12, -1e-12))
+    neg_mask = ((direction[:, 0] < 0).astype(jnp.int32) * 4
+                + (direction[:, 1] < 0).astype(jnp.int32) * 2
+                + (direction[:, 2] < 0).astype(jnp.int32))  # (R,)
+    # flat per-ray channels for the per-level re-fetch
+    ox, oy, oz = origin[:, 0], origin[:, 1], origin[:, 2]
+    ix, iy, iz = inv_dir[:, 0], inv_dir[:, 1], inv_dir[:, 2]
+
+    oc = octree.astype(jnp.int32) & 0xFF
+    prev_ex = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), exsum[:-1].astype(jnp.int32)])
+    node_tab = (prev_ex << 8) | oc
+
+    # initial frontier: every ray against the root cell, ray-major order
+    root_hit, _, _ = _ray_aabb(origin, inv_dir,
+                               jnp.full((num_rays, 3), -1.0, dtype),
+                               jnp.full((num_rays, 3), 1.0, dtype))
+    if c < num_rays:
+        raise ValueError(f"capacity {c} < num_rays {num_rays}")
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0).squeeze(-1)
+    pad = (0, c - num_rays)
+    pc = jnp.zeros((c,), jnp.int32)
+    nidx = jnp.zeros((c,), jnp.int32)
+    rstate = jnp.pad((jnp.arange(num_rays, dtype=jnp.int32) << 3) | neg_mask,
+                     pad)
+    mask = jnp.pad(root_hit, pad)
+
+    level_counts = []
+    overflowed = jnp.asarray(False)
+    for l in range(level):
+        cellw = 2.0 / (2 ** (l + 1))
+        nt = node_tab[nidx]                                  # (C,) gather
+        byte = nt & 0xFF
+        base = nt >> 8
+        neg = rstate & 7
+        ridx = rstate >> 3
+        rox, roy, roz = ox[ridx], oy[ridx], oz[ridx]         # 6 (C,) gathers
+        rix, riy, riz = ix[ridx], iy[ridx], iz[ridx]
+
+        # pass 1: candidate masks per visit position (front-to-back)
+        cands = []
+        for v in range(8):
+            child = jnp.int32(v) ^ neg                       # (C,)
+            has = ((byte >> child) & 1) == 1
+            child_off = (((child >> 2) & 1) | (((child >> 1) & 1) << 10)
+                         | ((child & 1) << 20))
+            cpc = (pc << 1) + child_off
+            bx = (cpc & 1023).astype(dtype) * cellw - 1.0
+            by = ((cpc >> 10) & 1023).astype(dtype) * cellw - 1.0
+            bz = (cpc >> 20).astype(dtype) * cellw - 1.0
+            tx0 = (bx - rox) * rix
+            tx1 = (bx + cellw - rox) * rix
+            ty0 = (by - roy) * riy
+            ty1 = (by + cellw - roy) * riy
+            tz0 = (bz - roz) * riz
+            tz1 = (bz + cellw - roz) * riz
+            tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                           jnp.minimum(ty0, ty1)),
+                               jnp.minimum(tz0, tz1))
+            tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                           jnp.maximum(ty0, ty1)),
+                               jnp.maximum(tz0, tz1))
+            hit = tmax >= jnp.maximum(tmin, 0.0)
+            cands.append(mask & has & hit)
+
+        cnt = cands[0].astype(jnp.int32)
+        for v in range(1, 8):
+            cnt = cnt + cands[v].astype(jnp.int32)
+        off = jnp.cumsum(cnt) - cnt                          # exclusive
+        total = off[-1] + cnt[-1]
+        level_counts.append(total)
+        overflowed = overflowed | (total > c)
+
+        # pass 2: token scatter (token = slot*8 + visit pos; +1 so 0 = empty)
+        wr = jnp.zeros((c,), jnp.int32)
+        dests, tokens = [], []
+        for v in range(8):
+            cv = cands[v]
+            dests.append(jnp.where(cv, off + wr, c))
+            tokens.append((iota_c << 3) | v)
+            wr = wr + cv.astype(jnp.int32)
+        token_buf = jnp.zeros((c,), jnp.int32).at[
+            jnp.concatenate(dests)].set(
+            jnp.concatenate([t + 1 for t in tokens]),
+            mode="drop", unique_indices=True)
+
+        new_mask = iota_c < jnp.minimum(total, c)
+        tok = jnp.where(new_mask, token_buf - 1, 0)
+        p = tok >> 3
+        vpos = tok & 7
+        pc_p = pc[p]                                         # 3 (C,) gathers
+        nt_p = nt[p]
+        rstate_p = rstate[p]
+        child = vpos ^ (rstate_p & 7)
+        child_off = (((child >> 2) & 1) | (((child >> 1) & 1) << 10)
+                     | ((child & 1) << 20))
+        pc = (pc_p << 1) + child_off
+        below = (nt_p & 0xFF) & ((1 << child) - 1)
+        popc = jax.lax.population_count(below.astype(jnp.uint32)) \
+            .astype(jnp.int32)
+        nidx = (nt_p >> 8) + popc + 1
+        rstate = rstate_p
+        mask = new_mask
+
+    # final depths (exact slab from integer coords)
+    cellw = 2.0 / (2 ** level)
+    ridx = rstate >> 3
+    rox, roy, roz = ox[ridx], oy[ridx], oz[ridx]
+    rix, riy, riz = ix[ridx], iy[ridx], iz[ridx]
+    bx = (pc & 1023).astype(dtype) * cellw - 1.0
+    by = ((pc >> 10) & 1023).astype(dtype) * cellw - 1.0
+    bz = (pc >> 20).astype(dtype) * cellw - 1.0
+    tx0 = (bx - rox) * rix
+    tx1 = (bx + cellw - rox) * rix
+    ty0 = (by - roy) * riy
+    ty1 = (by + cellw - roy) * riy
+    tz0 = (bz - roz) * riz
+    tz1 = (bz + cellw - roz) * riz
+    t_in = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                   jnp.minimum(ty0, ty1)),
+                       jnp.minimum(tz0, tz1))
+    t_out = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                    jnp.maximum(ty0, ty1)),
+                        jnp.maximum(tz0, tz1))
+    return (ridx, nidx, t_in, t_out, mask,
+            jnp.stack(level_counts) if level_counts
+            else jnp.zeros((0,), jnp.int32), overflowed)
+
+
 @functools.partial(jax.jit, static_argnames=("level", "slots", "compaction"))
 def _raytrace_perray(octree, exsum, origin, direction, level, slots,
                      compaction="sort"):
