@@ -21,12 +21,28 @@ the A100 reference estimate on one v5-lite chip" (v5p, the stated target
 hardware, is faster per chip — treated as an UNMEASURED estimate, see
 BASELINE.md).
 
+Robustness (VERDICT r3 #3 — the round-3 driver run timed out with NO
+record): the run is governed by a GLOBAL wall deadline enforced by a
+watchdog thread (which prints the aggregate JSON and exits even if the main
+thread is blocked inside a tunnel RPC — first device contact alone has
+measured 140-400+ s on a degraded tunnel), the running aggregate is flushed
+to ``BENCH_partial.json`` + echoed as a JSON line on stderr after every
+component (so even a SIGKILL'd run leaves a complete record in the driver's
+output tail), the JAX persistent compilation cache is enabled (first run
+pays the compiles, reruns skip them), and autosized capacities persist to
+``bench_capacities.json`` so reruns skip the grow-recompile doublings.
+Compile seconds and steady-state rate are reported separately per component.
+
 CLI: ``python bench.py [--component NAME] [--smoke]`` — ``--smoke`` shrinks
 every config for a fast CPU correctness pass (numbers meaningless).
+``BENCH_DEADLINE_S`` overrides the global wall budget (default 1100 s).
 """
 
 import argparse
 import json
+import os
+import sys
+import threading
 import time
 
 import numpy as np
@@ -39,6 +55,51 @@ BARS = {
     "gaussians_sim": 120.0,  # steps/s
     "collision_10k": 100.0,  # steps/s
 }
+
+# fastest-to-measure first: a timeout then starves only the slowest
+ORDER = ["dibr", "flexicubes", "raytrace", "simplicits", "gaussians_sim",
+         "collision_10k"]
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_SIDECAR = os.path.join(_REPO, "bench_capacities.json")
+_PARTIAL = os.path.join(_REPO, "BENCH_partial.json")
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: reruns (and the driver's run after
+    a builder run) skip the 100-300 s compiles that killed round 3."""
+    import jax
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.join(_REPO, ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
+
+def _sidecar_get(key, default=None):
+    try:
+        with open(_SIDECAR) as f:
+            return json.load(f).get(key, default)
+    except Exception:
+        return default
+
+
+def _sidecar_set(key, value):
+    data = {}
+    try:
+        with open(_SIDECAR) as f:
+            data = json.load(f)
+    except Exception:
+        pass
+    data[key] = value
+    try:
+        with open(_SIDECAR, "w") as f:
+            json.dump(data, f, indent=1, sort_keys=True)
+    except Exception:
+        pass
 
 
 def _sync(x):
@@ -227,13 +288,16 @@ def bench_raytrace(level=9, res=512, num_frames=20):
     num_rays = origins.shape[0]
 
     # per-ray fixed-slot traversal (row-local sorts, no global compaction);
-    # size K once by growing on overflow, then render at the validated K
+    # size K once by growing on overflow, then render at the validated K.
+    # The validated K persists to the sidecar so reruns skip the doubling
+    # recompiles (overflow is still checked — a stale K only costs one grow).
     octree_j = jnp.asarray(octree)
     exsum_j = jnp.asarray(exsum)
-    k = 16
+    k = int(_sidecar_get(f"raytrace_k_l{level}_r{res}", 16))
     while bool(_raytrace_perray(octree_j, exsum_j, origins, dirs, level,
                                 k)[-1]):
         k *= 2
+    _sidecar_set(f"raytrace_k_l{level}_r{res}", k)
 
     @jax.jit
     def render_depth(o, v):
@@ -413,41 +477,44 @@ def bench_collision_10k(num_objects=6, qp_per_object=1700, num_handles=6,
         assert col.broad_phase == "grid", \
             "auto default must pick grid at N>=10k"
 
-    scene.run_sim_step()
-    _sync(scene.sim_z)
-
     def run():
         for _ in range(num_steps):
             scene.run_sim_step()
         return num_steps
 
-    rate = _best_of(2, run, lambda: _sync(scene.sim_z))
+    # capacities may auto-resize (re-jit) while the stack settles; re-measure
+    # after any resize so the recorded rate is the steady state of a grid
+    # that drops NOTHING (VERDICT r3 #2a: overflow = failed run)
+    rate = 0.0
+    for _attempt in range(3):
+        scene.run_sim_step()
+        scene.check_collision_capacity()
+        _sync(scene.sim_z)
+        before = scene.collision_resizes
+        rate = _best_of(2, run, lambda: _sync(scene.sim_z))
+        scene.check_collision_capacity()
+        if scene.collision_resizes == before:
+            break
     diag = scene.collision_diagnostics()
+    overflow = bool(diag.get("cell_overflow", False)) \
+        or bool(diag.get("slot_overflow", False)) \
+        or bool(diag["contacts_overflow"])
     rate_meta = {"num_particles": int(scene.total_qp),
                  "num_pairs": int(diag["num_pairs"]),
                  "cell_overflow": bool(diag.get("cell_overflow", False)),
-                 "contacts_overflow": bool(diag["contacts_overflow"])}
+                 "contacts_overflow": bool(diag["contacts_overflow"]),
+                 "auto_resizes": int(scene.collision_resizes)}
+    if overflow:
+        raise RuntimeError(
+            f"collision capacity overflow persisted after "
+            f"{scene.collision_resizes} auto-resizes: {rate_meta}")
     return rate, rate_meta
 
 
 # ---------------------------------------------------------------------------
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--component", choices=sorted(BARS), default=None)
-    ap.add_argument("--smoke", action="store_true",
-                    help="tiny shapes, CPU-friendly correctness pass")
-    args = ap.parse_args()
-
-    smoke = args.smoke
-    if smoke:
-        # CPU correctness pass: the axon site plugin overrides the env var
-        # alone, so set both (see tests/conftest.py)
-        import os
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        import jax
-        jax.config.update("jax_platforms", "cpu")
-    runners = {
+def _make_runners(smoke):
+    return {
         "simplicits": lambda: bench_simplicits(
             num_qp=64 if smoke else 1000, num_handles=5 if smoke else 33,
             num_steps=3 if smoke else 50),
@@ -471,45 +538,138 @@ def main():
             kinematic_qp=16 if smoke else 512,
             num_steps=2 if smoke else 20),
     }
-    selected = [args.component] if args.component else sorted(BARS)
 
-    import sys
-    components = {}
-    ratios = []
-    extras = {}
+
+class _Aggregate:
+    """Running result set; always renderable to a complete JSON payload."""
+
+    def __init__(self, selected):
+        self.selected = list(selected)
+        self.lock = threading.Lock()
+        self.components = {}
+        self.extras = {}
+        self.ratios = {}       # name -> ratio (1e-3 for failed/timed out)
+        self.final_printed = False
+
+    def record(self, name, value=None, meta=None, error=None):
+        with self.lock:
+            if error is not None:
+                self.extras[name] = {"error": error[:300]}
+                self.ratios[name] = 1e-3
+                self.components[name] = 0.0
+            else:
+                if meta:
+                    self.extras[name] = meta
+                self.components[name] = round(value, 2)
+                self.ratios[name] = value / BARS[name]
+                self.components[f"{name}_vs_a100"] = round(
+                    value / BARS[name], 3)
+
+    def payload(self):
+        with self.lock:
+            ratios = [self.ratios.get(n, 1e-3) for n in self.selected]
+            missing = [n for n in self.selected if n not in self.ratios]
+            geomean = float(np.exp(np.mean(np.log(ratios))))
+            payload = {
+                "metric": "northstar_speedup_vs_a100_geomean",
+                "value": round(geomean, 3),
+                "unit": "x",
+                "vs_baseline": round(geomean, 3),
+                "components": dict(self.components),
+            }
+            if missing:
+                payload["unfinished"] = missing
+            if self.extras:
+                payload["meta"] = {k: dict(v)
+                                   for k, v in self.extras.items()}
+            return payload
+
+    def flush_partial(self):
+        payload = self.payload()
+        try:
+            with open(_PARTIAL, "w") as f:
+                json.dump(payload, f, indent=1)
+        except Exception:
+            pass
+        print("[bench] partial: " + json.dumps(payload), file=sys.stderr,
+              flush=True)
+
+    def print_final(self):
+        """Idempotent final stdout emission (main thread or watchdog)."""
+        with self.lock:
+            if self.final_printed:
+                return
+            self.final_printed = True
+        print(json.dumps(self.payload()), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--component", choices=sorted(BARS), default=None)
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny shapes, CPU-friendly correctness pass")
+    ap.add_argument("--deadline", type=float, default=float(
+        os.environ.get("BENCH_DEADLINE_S", 1100.0)),
+        help="global wall budget in seconds; the watchdog prints the "
+             "aggregate and exits when it passes (0 disables)")
+    args = ap.parse_args()
+
+    smoke = args.smoke
+    if smoke:
+        # CPU correctness pass: the axon site plugin overrides the env var
+        # alone, so set both (see tests/conftest.py)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    _enable_compile_cache()
+    runners = _make_runners(smoke)
+    selected = [args.component] if args.component else ORDER
+    agg = _Aggregate(selected)
+    t0 = time.perf_counter()
+
+    if args.deadline > 0:
+        def watchdog():
+            # fires even while the main thread is blocked inside an RPC:
+            # record the in-flight component as timed out, emit, hard-exit
+            deadline = t0 + args.deadline
+            while time.perf_counter() < deadline:
+                if agg.final_printed:
+                    return
+                time.sleep(min(5.0, deadline - time.perf_counter()) + 0.01)
+            for name in selected:
+                if name not in agg.ratios:
+                    agg.record(name, error="timeout: global bench deadline "
+                               f"({args.deadline:.0f}s) reached")
+            agg.flush_partial()
+            agg.print_final()
+            os._exit(0)
+
+        threading.Thread(target=watchdog, daemon=True).start()
+
     for name in selected:
-        print(f"[bench] {name}: start", file=sys.stderr, flush=True)
+        print(f"[bench] {name}: start (t+{time.perf_counter() - t0:.0f}s)",
+              file=sys.stderr, flush=True)
         t_start = time.perf_counter()
         try:
             out = runners[name]()
         except Exception as e:  # record and keep measuring the rest
             import traceback
             traceback.print_exc()
-            extras[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
-            ratios.append(1e-3)  # a failed config counts hard against us
-            components[name] = 0.0
+            agg.record(name, error=f"{type(e).__name__}: {e}")
+            agg.flush_partial()
             continue
+        meta = None
         if isinstance(out, tuple):
             out, meta = out
-            extras[name] = meta
-        components[name] = round(out, 2)
-        ratios.append(out / BARS[name])
-        components[f"{name}_vs_a100"] = round(out / BARS[name], 3)
+        meta = dict(meta) if meta else {}
+        meta["wall_s"] = round(time.perf_counter() - t_start, 1)
+        agg.record(name, value=out, meta=meta)
+        agg.flush_partial()
         print(f"[bench] {name}: {out:.2f} ({out / BARS[name]:.2f}x bar, "
-              f"{time.perf_counter() - t_start:.0f}s incl. compile)",
+              f"{meta['wall_s']:.0f}s incl. compile)",
               file=sys.stderr, flush=True)
 
-    geomean = float(np.exp(np.mean(np.log(ratios))))
-    payload = {
-        "metric": "northstar_speedup_vs_a100_geomean",
-        "value": round(geomean, 3),
-        "unit": "x",
-        "vs_baseline": round(geomean, 3),
-        "components": components,
-    }
-    if extras:
-        payload["meta"] = extras
-    print(json.dumps(payload))
+    agg.print_final()
 
 
 if __name__ == "__main__":

@@ -173,8 +173,34 @@ class Collision:
     def detection_radius(self):
         return 2.0 * self.collision_radius * self.collision_detection_ratio
 
+    # flag bits for the jit-friendly overflow bitmask (see :meth:`diag_flags`)
+    FLAG_CELL_OVERFLOW = 1       # a cell held more than cell_capacity points
+    FLAG_SLOT_OVERFLOW = 2       # a particle's contact list exceeded K2
+    FLAG_CONTACTS_OVERFLOW = 4   # true pairs exceeded max_contacting_pairs
+    FLAG_WINDOW_OVERFLOW = 8     # sweep window exceeded
+
+    @staticmethod
+    def diag_flags(diag):
+        """Compress a :meth:`detection_diagnostics` dict into one int32
+        bitmask (jittable) — cheap to carry through a ``lax.scan`` rollout
+        and OR-accumulate across steps, so the host can poll capacity health
+        with a single scalar readback (see
+        ``SimplicitsScene.check_collision_capacity``)."""
+        flags = jnp.int32(0)
+        for key, bit in (("cell_overflow", Collision.FLAG_CELL_OVERFLOW),
+                         ("slot_overflow", Collision.FLAG_SLOT_OVERFLOW),
+                         ("contacts_overflow",
+                          Collision.FLAG_CONTACTS_OVERFLOW),
+                         ("window_overflow",
+                          Collision.FLAG_WINDOW_OVERFLOW)):
+            if key in diag:
+                flags = flags | jnp.where(diag[key], jnp.int32(bit),
+                                          jnp.int32(0))
+        return flags
+
     def configure_grid(self, rest_pts, obj_ids=None, margin=0.5,
-                       mem_budget=1.5e9, auto_capacities=True):
+                       mem_budget=1.5e9, auto_capacities=True,
+                       headroom=1.5, bounds_pts=None):
         """Fix the dense cell grid's static geometry from the REST
         configuration (host-side, once). The grid must be configured before
         a ``broad_phase='grid'`` detection can be traced.
@@ -192,11 +218,19 @@ class Collision:
 
         Dims are rounded up to a multiple of 4 so scenes with near-equal
         extents get identical static shapes (scene-batch stacking).
+
+        ``headroom`` scales the measured occupancies before pow2 rounding
+        (mid-sim auto-resize escalates it); ``bounds_pts`` optionally widens
+        the grid span beyond ``rest_pts`` (e.g. the union of rest and
+        current positions when reconfiguring mid-simulation).
         """
         pts = np.asarray(rest_pts, np.float32)
         radius = self.detection_radius
-        lo0 = pts.min(0)
-        hi0 = pts.max(0)
+        span = (pts if bounds_pts is None
+                else np.concatenate([pts, np.asarray(bounds_pts,
+                                                     np.float32)]))
+        lo0 = span.min(0)
+        hi0 = span.max(0)
         ext = np.maximum(hi0 - lo0, 1e-6)
         slack = np.maximum(margin * ext, 2.0 * radius)
         lo = lo0 - slack
@@ -212,7 +246,8 @@ class Collision:
             # O(num_cells) host memory — hundreds of GB at fine cells)
             occ = (np.unique(lin, return_counts=True)[1].max()
                    if lin.size else 1)
-            k = int(min(128, max(8, 1 << int(np.ceil(np.log2(1.5 * occ))))))
+            k = int(min(128, max(8, 1 << int(np.ceil(np.log2(
+                headroom * occ))))))
             num_cells = int(dims.prod())
             tests = num_cells * k * 14 * k
             # live peak of _cellgrid_pairs ≈ blocks + stacked + transposed
@@ -274,7 +309,7 @@ class Collision:
                     per_owner = 0
                 self.slot_contact_capacity = int(
                     min(128, max(8, 1 << int(np.ceil(np.log2(
-                        1.5 * max(per_owner, 1)))))))
+                        headroom * max(per_owner, 1)))))))
             except Exception:
                 pass
         return self
@@ -599,7 +634,7 @@ class Collision:
 
     # -- detection (ref :643) --
     def detect_collisions(self, cp_dx, cp_x0, cp_obj_ids, cp_is_static=None,
-                          weights=None, cp_exclude=None):
+                          weights=None, cp_exclude=None, return_diag=False):
         """Find contact pairs. Returns a :class:`Contacts` buffer (jittable).
 
         cp_dx (N, 3) current displacements; cp_x0 (N, 3) rest positions;
@@ -607,16 +642,20 @@ class Collision:
         global LBS skinning weights — when given, contacts carry the q-form
         factors and the Newton loop runs gather-free; cp_exclude (N,) bool
         removes points from detection entirely (heterogeneous-batch
-        phantoms).
+        phantoms). ``return_diag=True`` additionally returns the
+        :meth:`detection_diagnostics` dict of THIS detection (free — the
+        counts are byproducts of the broad phase), so capacity overflow can
+        be surfaced from inside a jitted sim step instead of re-running
+        detection.
         """
         n = cp_x0.shape[0]
         if cp_is_static is None:
             cp_is_static = jnp.zeros((n,), dtype=jnp.int32)
         cur = cp_dx + cp_x0
 
-        ia, ib, valid, _ = self._flat_pairs(cur, cp_x0, cp_obj_ids,
-                                            cp_is_static,
-                                            cp_exclude=cp_exclude)
+        ia, ib, valid, diag = self._flat_pairs(cur, cp_x0, cp_obj_ids,
+                                               cp_is_static,
+                                               cp_exclude=cp_exclude)
 
         # canonicalize: a static partner always sits on the b side — the
         # barrier's target distance rc and the offset formula are asymmetric
@@ -659,9 +698,12 @@ class Collision:
         else:
             wa = wb = xa = xb = None
             dx0 = cp_dx
-        return Contacts(indices_a=indices_a, indices_b=indices_b,
-                        normals=nrm.T, kinematic_gaps=gaps.T, valid=valid,
-                        dx0=dx0, wa=wa, wb=wb, xa=xa, xb=xb)
+        contacts = Contacts(indices_a=indices_a, indices_b=indices_b,
+                            normals=nrm.T, kinematic_gaps=gaps.T, valid=valid,
+                            dx0=dx0, wa=wa, wb=wb, xa=xa, xb=xb)
+        if return_diag:
+            return contacts, diag
+        return contacts
 
     # -- per-contact geometry --
     # Channels-first internals: all (C, 3)-shaped quantities are computed as

@@ -179,6 +179,17 @@ class SimplicitsScene:
         self.sim_z_prev = None
         self.sim_z_dot = None
 
+        # collision capacity auto-resize (VERDICT r3 #2a: silently dropping
+        # contacts is not a safety net): the jitted step OR-accumulates a
+        # detection-overflow bitmask on-device; every
+        # ``collision_resize_interval`` steps the host reads it (one scalar
+        # readback) and, if tripped, re-measures capacities from the CURRENT
+        # configuration and re-jits with escalating headroom.
+        self.collision_auto_resize = True
+        self.collision_resize_interval = 16
+        self.collision_resizes = 0
+        self._col_overflow = None   # device int32 bitmask (0 = healthy)
+
     # ---- object management ----
     def add_object(self, sim_object, num_qp=None, init_transform=None,
                    is_kinematic=False, renderable_pts=None,
@@ -494,6 +505,7 @@ class SimplicitsScene:
         self.sim_z = jnp.concatenate(zs)
         self.sim_z_prev = jnp.zeros_like(self.sim_z)
         self.sim_z_dot = jnp.zeros_like(self.sim_z)
+        self._col_overflow = None
 
     def set_object_initial_transform(self, object_id, init_transform):
         """Ref :594."""
@@ -606,11 +618,15 @@ class SimplicitsScene:
         return per_pt.at[:, 3, 3].set(1.0)
 
     # ---- the functional core ----
-    def build_functional_step(self):
+    def build_functional_step(self, with_diag=False):
         """The scene's implicit time step as a PURE function over a pytree of
         scene constants. Returns ``(step_fn, consts)`` with
 
         ``step_fn(consts, z, z_prev, z_dot) -> (z_new, z_prev_out, z_dot_new)``
+
+        With ``with_diag=True`` the step returns a fourth output: an int32
+        overflow bitmask (:meth:`Collision.diag_flags`) of THIS step's
+        collision detection — 0 when healthy or when collisions are off.
 
         ``step_fn`` closes only over static Python config (solver knobs,
         force order, DOF slices); every array — operators, force parameters
@@ -693,11 +709,14 @@ class SimplicitsScene:
             # dense matmuls — no (3C, D) jacobian, no gathers in the Newton
             # loop (collisions.py module docstring).
             qr = c["qr_tfm"]
+            diag_flags = jnp.int32(0)
             if has_collision:
                 dx0 = dx_of(z)
-                contacts = collision.detect_collisions(
+                contacts, det_diag = collision.detect_collisions(
                     dx0, pts, c["qp_obj_ids"], c["qp_is_kin"],
-                    weights=c["col_w"], cp_exclude=c.get("qp_is_phantom"))
+                    weights=c["col_w"], cp_exclude=c.get("qp_is_phantom"),
+                    return_diag=True)
+                diag_flags = type(collision).diag_flags(det_diag)
 
                 def zq_of(z_):
                     dzq = z_ - z
@@ -787,6 +806,8 @@ class SimplicitsScene:
                 dyn_idx=dyn_idx, bounds_qr_tfm=c["qr_red"],
                 bounds_qr_tfm_inv=c["qr_red_inv"], **nm_kwargs)
             z_dot_new = (z_new - z_prev) / dt
+            if with_diag:
+                return z_new, z_prev, z_dot_new, diag_flags
             return z_new, z_prev, z_dot_new
 
         return step, consts
@@ -797,9 +818,18 @@ class SimplicitsScene:
         # into the HLO as literal constants — hundreds of MB of program text
         # at 10k+ qp, which inflates compiles and overflows remote-compile
         # transports
-        step, consts = self.build_functional_step()
-        jitted = jax.jit(step)
-        return lambda z, z_prev, z_dot: jitted(consts, z, z_prev, z_dot)
+        step, consts = self.build_functional_step(with_diag=True)
+
+        # the overflow bitmask OR-accumulates on-device (no extra dispatch,
+        # no host sync): the host polls it sparsely via
+        # check_collision_capacity
+        @jax.jit
+        def stepped(c, z, z_prev, z_dot, ovf):
+            z1, zp, zd, flags = step(c, z, z_prev, z_dot)
+            return z1, zp, zd, ovf | flags
+
+        return lambda z, z_prev, z_dot, ovf: stepped(consts, z, z_prev,
+                                                     z_dot, ovf)
 
     def run_sim_step(self):
         """Run one implicit time step — a single compiled XLA call.
@@ -808,9 +838,16 @@ class SimplicitsScene:
             raise RuntimeError("Forces need to be set")
         if self._step_fn is None:
             self._step_fn = self._build_step_fn()
-        self.sim_z, self.sim_z_prev, self.sim_z_dot = self._step_fn(
-            self.sim_z, self.sim_z_prev, self.sim_z_dot)
+        if self._col_overflow is None:
+            self._col_overflow = jnp.int32(0)
+        (self.sim_z, self.sim_z_prev, self.sim_z_dot,
+         self._col_overflow) = self._step_fn(
+            self.sim_z, self.sim_z_prev, self.sim_z_dot, self._col_overflow)
         self.current_sim_step += 1
+        if (self.collision_auto_resize and "collision" in self.force_dict
+                and self.current_sim_step % self.collision_resize_interval
+                == 0):
+            self.check_collision_capacity()
 
     def run_sim_steps(self, num_steps):
         """Run ``num_steps`` implicit time steps as ONE compiled
@@ -826,17 +863,73 @@ class SimplicitsScene:
         if not self._ready_for_forces:
             raise RuntimeError("Forces need to be set")
         if self._scan_fn is None:
-            step, consts = self.build_functional_step()
+            step, consts = self.build_functional_step(with_diag=True)
 
             # consts as runtime args (see _build_step_fn)
             @functools.partial(jax.jit, static_argnames="n")
-            def rollout(c, z, z_prev, z_dot, n):
+            def rollout(c, z, z_prev, z_dot, ovf, n):
                 def body(carry, _):
-                    return step(c, *carry), None
-                carry, _ = jax.lax.scan(body, (z, z_prev, z_dot), None,
+                    z1, zp, zd, flags = step(c, *carry[:3])
+                    return (z1, zp, zd, carry[3] | flags), None
+                carry, _ = jax.lax.scan(body, (z, z_prev, z_dot, ovf), None,
                                         length=n)
                 return carry
             self._scan_fn = functools.partial(rollout, consts)
-        self.sim_z, self.sim_z_prev, self.sim_z_dot = self._scan_fn(
-            self.sim_z, self.sim_z_prev, self.sim_z_dot, n=int(num_steps))
+        if self._col_overflow is None:
+            self._col_overflow = jnp.int32(0)
+        (self.sim_z, self.sim_z_prev, self.sim_z_dot,
+         self._col_overflow) = self._scan_fn(
+            self.sim_z, self.sim_z_prev, self.sim_z_dot, self._col_overflow,
+            n=int(num_steps))
         self.current_sim_step += int(num_steps)
+        if self.collision_auto_resize and "collision" in self.force_dict:
+            self.check_collision_capacity()
+
+    def check_collision_capacity(self):
+        """Poll the on-device detection-overflow bitmask (ONE scalar
+        readback). If any detection since the last check dropped points,
+        contacts, or pairs (VERDICT r3 #2a), re-measure grid capacities from
+        the CURRENT deformed configuration with escalating headroom, rebuild
+        the step functions, and return the tripped bitmask (0 = healthy).
+
+        Called automatically every ``collision_resize_interval`` steps (and
+        after every :meth:`run_sim_steps` rollout) while
+        ``collision_auto_resize`` is True; safe to call manually.
+        """
+        if "collision" not in self.force_dict or self._col_overflow is None:
+            return 0
+        flags = int(np.asarray(self._col_overflow))
+        if flags == 0:
+            return 0
+        self._resize_collision_capacities(flags)
+        return flags
+
+    def _resize_collision_capacities(self, flags):
+        col = self.force_dict["collision"]["object"]
+        self.collision_resizes += 1
+        headroom = 1.5 * (2.0 ** min(self.collision_resizes - 1, 4))
+        cur = np.asarray(self.sim_pts) + np.asarray(
+            (self.sim_B @ self.sim_z)).reshape(-1, 3)
+        real = (~np.asarray(self.qp_is_phantom) if self._has_phantoms
+                else slice(None))
+        if col.broad_phase == "grid":
+            old = (col.grid_dims, col.cell_capacity,
+                   col.slot_contact_capacity)
+            col.configure_grid(
+                cur[real], obj_ids=np.asarray(self.qp_to_object_map)[real],
+                headroom=headroom,
+                bounds_pts=np.asarray(self.sim_pts)[real])
+            warnings.warn(
+                f"collision capacity overflow (flags={flags:#x}); grid "
+                f"re-measured from the current configuration: dims/K/K2 "
+                f"{old} -> {(col.grid_dims, col.cell_capacity, col.slot_contact_capacity)}"
+                f" (resize #{self.collision_resizes}, re-jit follows)")
+        if flags & type(col).FLAG_CONTACTS_OVERFLOW:
+            col.max_contacts = int(min(
+                max(col.max_contacts * 2, 1024),
+                self.total_qp * (self.total_qp - 1) // 2))
+        if flags & type(col).FLAG_WINDOW_OVERFLOW:
+            col.sweep_window = int(min(col.sweep_window * 2, self.total_qp))
+        self._col_overflow = jnp.int32(0)
+        self._step_fn = None
+        self._scan_fn = None

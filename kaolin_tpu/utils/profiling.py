@@ -10,8 +10,9 @@ Two tools:
 * :func:`trace` — context manager wrapping ``jax.profiler.trace`` with a
   stable output directory layout (one subdirectory per label).
 * :func:`time_fn` — robust wall-clock timing of a (jitted) callable with
-  warm-up compile, ``block_until_ready`` fencing, and best-of-k repeats;
-  returns a :class:`Timing` with per-call milliseconds.
+  warm-up compile, a TRUE device fence (scalar readback — see :func:`sync`),
+  and best-of-k repeats; returns a :class:`Timing` with per-call
+  milliseconds.
 
 Example::
 
@@ -32,7 +33,25 @@ from typing import Callable
 
 import jax
 
-__all__ = ["trace", "time_fn", "Timing", "default_trace_dir"]
+__all__ = ["trace", "time_fn", "sync", "Timing", "default_trace_dir"]
+
+
+def sync(x) -> None:
+    """Force completion of everything ``x`` depends on — a TRUE fence.
+
+    ``jax.block_until_ready`` does NOT block on the axon tunnel platform
+    (dispatches queue without a completion signal), so timing loops fenced
+    with it measure dispatch only. A 4-byte scalar readback is a real fence:
+    the host transfer cannot start until the dependent program finishes.
+    Falls back to ``block_until_ready`` for non-array leaves.
+    """
+    import numpy as np
+
+    for leaf in jax.tree_util.tree_leaves(x):
+        if hasattr(leaf, "ravel"):
+            np.asarray(jax.numpy.ravel(leaf)[0])
+            return
+    jax.block_until_ready(x)
 
 
 def default_trace_dir() -> str:
