@@ -214,23 +214,18 @@ def _parse_int_array(text):
     return np.asarray([int(x) for x in inner.split(",")], dtype=np.int64)
 
 
-def _parse_usda(file_path):
-    """Very small USDA parser: prim blocks with flat attributes and
-    timeSamples. Returns a list of dicts with full hierarchy paths:
-    {"type", "name", "path", "parent", "body"} (body excludes nested
-    prims).
-
-    Binary .usdc files (and .usdz packages, which are uncompressed zips of
-    usdc + assets) are read through the dependency-free Crate reader
-    (:mod:`kaolin_tpu.io.usd.crate`) and transpiled to USDA text, so every
-    import path below handles all three containers."""
+def _read_usd_text(file_path):
+    """Read any USD container (.usda text, binary .usdc crate, or .usdz
+    zip package) as USDA text. Binary crate layers go through the
+    dependency-free reader (:mod:`kaolin_tpu.io.usd.crate`) and are
+    transpiled to USDA (defaults + timeSamples), so every text-parsing
+    import path handles all three containers."""
     with open(file_path, "rb") as f:
         head = f.read(8)
     if head.startswith(b"PXR-USDC"):
         from kaolin_tpu.io.usd.crate import crate_to_usda
-        src = crate_to_usda(file_path)
-    elif head.startswith(b"PK\x03\x04"):
-        import io as _io
+        return crate_to_usda(file_path)
+    if head.startswith(b"PK\x03\x04"):
         import zipfile
 
         from kaolin_tpu.io.usd.crate import crate_to_usda, is_crate
@@ -245,12 +240,18 @@ def _parse_usda(file_path):
             with tempfile.NamedTemporaryFile(suffix=".usdc") as tmp:
                 tmp.write(data)
                 tmp.flush()
-                src = crate_to_usda(tmp.name)
-        else:
-            src = data.decode("utf-8")
-    else:
-        with open(file_path) as f:
-            src = f.read()
+                return crate_to_usda(tmp.name)
+        return data.decode("utf-8")
+    with open(file_path) as f:
+        return f.read()
+
+
+def _parse_usda(file_path):
+    """Very small USDA parser: prim blocks with flat attributes and
+    timeSamples. Returns a list of dicts with full hierarchy paths:
+    {"type", "name", "path", "parent", "body"} (body excludes nested
+    prims). Accepts all three USD containers via :func:`_read_usd_text`."""
+    src = _read_usd_text(file_path)
 
     prims = []
 
@@ -809,8 +810,7 @@ def get_gaussiancloud_scene_paths(file_path, scene_path=None):
 def get_authored_time_samples(file_path):
     """Union of all authored timeSamples keys. Ref ``usd/utils.py:97``."""
     times = set()
-    with open(file_path) as f:
-        src = f.read()
+    src = _read_usd_text(file_path)
     for m in re.finditer(r"^\s*([\d.]+)\s*:", src, re.MULTILINE):
         times.add(float(m.group(1)))
     return sorted(times)

@@ -19,12 +19,11 @@ versions 0.7.x/0.8.x — the versions current USD writers emit:
 
 The public entry point :func:`crate_to_usda` TRANSPILES the crate content
 into USDA text covering the geometry payloads this suite consumes (Mesh /
-Points / Xform prims, primvars with interpolation metadata), so every
-text-USDA import path works on binary files unchanged. Unsupported value
-types are skipped attribute-wise, never fatally.
-
-Defaults only for now: timeSamples in crate files are not materialized
-(rare for asset interchange; the Timelapse path writes USDA).
+Points / Xform prims, primvars with interpolation metadata, and
+``timeSamples`` blocks with layer start/endTimeCode metadata — so Timelapse
+checkpoints written by stock binary-USD tooling parse like text ones, ref
+``io/usd/mesh.py:356`` ``time=`` params). Unsupported value types are
+skipped attribute-wise, never fatally.
 """
 
 from __future__ import annotations
@@ -141,6 +140,8 @@ _SCALAR = {
 _T_STRING, _T_TOKEN, _T_ASSET = 10, 11, 12
 _T_TOKEN_VECTOR = 41
 _T_SPECIFIER = 42
+_T_TIME_SAMPLES = 46
+_T_DOUBLE_VECTOR = 48
 
 _SPEC_ATTRIBUTE, _SPEC_PRIM, _SPEC_PSEUDO_ROOT, _SPEC_RELATIONSHIP = 1, 6, 7, 8
 
@@ -307,6 +308,13 @@ class CrateFile:
             cnt = r.read("<Q")
             idx = np.frombuffer(self.data, "<u4", cnt, r.pos)
             return [self.tokens[i] for i in idx]
+        if ty == _T_DOUBLE_VECTOR:
+            r = _Reader(self.data)
+            r.seek(payload)
+            cnt = int(r.read("<Q"))
+            return np.frombuffer(self.data, "<f8", cnt, r.pos).copy()
+        if ty == _T_TIME_SAMPLES:
+            return self.time_samples(rep)
         if ty not in _SCALAR:
             return None
         dt, comps = _SCALAR[ty]
@@ -368,6 +376,37 @@ class CrateFile:
             return flat.reshape(cnt, comps)
         return None
 
+    def time_samples(self, rep):
+        """Materialize a TimeSamples ValueRep → ``{time: value}``.
+
+        Layout (reverse-engineered against pxr-written files; pxr
+        crateFile.cpp ``_ReadTimeSamples``): at the payload offset, an int64
+        jump (relative to its own position) to the times ValueRep — the
+        writer places the DEDUPED ``vector<double>`` times blob in between,
+        so shared time curves are stored once — then an int64 jump (same
+        convention) to ``{int64 n; ValueRep values[n]}``. Sample values
+        whose type is unsupported materialize as None and are dropped.
+        """
+        base = rep & _PAYLOAD_MASK
+        r = _Reader(self.data)
+        r.seek(base)
+        jump = r.read("<q")
+        r.seek(base + jump)
+        times = self.value(r.read("<Q"))
+        if times is None:
+            return None
+        pos = r.pos
+        jump = r.read("<q")
+        r.seek(pos + jump)
+        n = int(r.read("<q"))
+        reps = struct.unpack_from(f"<{n}Q", self.data, r.pos)
+        out = {}
+        for t, vr in zip(np.asarray(times), reps):
+            v = self.value(int(vr))
+            if v is not None:
+                out[float(t)] = v
+        return out
+
 
 # ---------------------------------------------------------------------------
 # crate → usda transpiler
@@ -427,23 +466,28 @@ def crate_to_usda(path) -> str:
         parent = p.rsplit("/", 1)[0] or "/"
         children.setdefault(parent, []).append(p)
 
-    lines = ["#usda 1.0", "(""", ")"]
+    # layer metadata (time codes drive TimelapseParser frame discovery)
+    header = []
+    for key in ("defaultPrim", "upAxis"):
+        rep = prim_specs.get("/", {}).get(key)
+        if rep is not None:
+            v = crate.value(rep)
+            if isinstance(v, str):
+                header.append(f'    {key} = "{v}"')
+    for key in ("startTimeCode", "endTimeCode", "timeCodesPerSecond"):
+        rep = prim_specs.get("/", {}).get(key)
+        if rep is not None:
+            v = crate.value(rep)
+            if isinstance(v, (int, float)):
+                header.append(f"    {key} = {v}")
+    lines = ["#usda 1.0", "("] + header + [")"]
 
     def emit_attr(name, fields, indent):
-        rep = fields.get("default")
-        if rep is None:
-            return
-        v = crate.value(rep)
-        if v is None:
-            return
         tname = None
         if "typeName" in fields:
             tname = crate.value(fields["typeName"])
         if not isinstance(tname, str):
             tname = None
-        text = _fmt_value(tname, v)
-        if text is None:
-            return
         meta = ""
         interp_rep = fields.get("interpolation")
         if interp_rep is not None:
@@ -451,7 +495,28 @@ def crate_to_usda(path) -> str:
             if isinstance(interp, str):
                 meta = f' ( interpolation = "{interp}" )'
         tdecl = f"{tname} " if tname else ""
-        lines.append(f"{indent}{tdecl}{name} = {text}{meta}")
+
+        rep = fields.get("default")
+        if rep is not None:
+            v = crate.value(rep)
+            text = _fmt_value(tname, v) if v is not None else None
+            if text is not None:
+                lines.append(f"{indent}{tdecl}{name} = {text}{meta}")
+
+        ts_rep = fields.get("timeSamples")
+        if ts_rep is not None:
+            samples = crate.value(ts_rep)
+            if samples:
+                entries = []
+                for t in sorted(samples):
+                    text = _fmt_value(tname, samples[t])
+                    if text is not None:
+                        entries.append(f"{indent}    {t}: {text},")
+                if entries:
+                    lines.append(
+                        f"{indent}{tdecl}{name}.timeSamples = {{")
+                    lines.extend(entries)
+                    lines.append(f"{indent}}}{meta}")
 
     def emit_prim(path, indent):
         fields = prim_specs.get(path, {})

@@ -129,10 +129,24 @@ class TimelapseParser:
 
     @staticmethod
     def _get_timestamps(path):
-        with open(path) as f:
+        with open(path, "rb") as f:
             src = f.read()
+        from kaolin_tpu.io.usd.crate import CrateFile, is_crate
+        if is_crate(src[:8]):
+            # binary checkpoint (stock USD writers default to crate):
+            # union of authored timeSample keys across all attributes
+            crate = CrateFile(path)
+            times = set()
+            for _, _, fields in crate.specs:
+                rep = fields.get("timeSamples")
+                if rep is not None:
+                    samples = crate.value(rep)
+                    if samples:
+                        times.update(samples)
+            return sorted(times)
         return sorted({float(m.group(1))
-                       for m in re.finditer(r"^\s*([\d.]+)\s*:", src,
+                       for m in re.finditer(r"^\s*([\d.]+)\s*:",
+                                            src.decode("utf-8", "replace"),
                                             re.MULTILINE)})
 
     def get_file_path(self, type, category, id):

@@ -87,3 +87,51 @@ def test_crate_material_read():
     np.testing.assert_allclose(float(np.asarray(m.roughness_value)),
                                0.6932139992713928, rtol=1e-5)
     np.testing.assert_allclose(float(np.asarray(m.metallic_value)), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# timeSamples in binary crate files (pxr-written Timelapse checkpoints)
+# Ref: kaolin/io/usd/mesh.py:356 (time= params); reference Timelapse tests
+# parse these same pxr-written binary sample dirs.
+
+TL = "/root/reference/tests/samples/timelapse/notexture"
+
+
+def test_crate_authored_time_samples():
+    """Authored timeSample keys of a pxr-written binary checkpoint."""
+    from kaolin_tpu.io.usd.core import get_authored_time_samples
+    ts = get_authored_time_samples(f"{TL}/output/mesh_0.usd")
+    assert ts == [float(t) for t in range(0, 101, 10)]
+
+
+def test_crate_time_varying_mesh_import():
+    """Animated vertices materialize per-time; faces are static defaults."""
+    ts = [0.0, 100.0]
+    meshes = [kusd.import_mesh(f"{TL}/output/mesh_0.usd", time=t)
+              for t in ts]
+    v0, v1 = (np.asarray(m.vertices) for m in meshes)
+    assert v0.shape == v1.shape and v0.shape[1] == 3
+    assert not np.array_equal(v0, v1)
+    np.testing.assert_array_equal(np.asarray(meshes[0].faces),
+                                  np.asarray(meshes[1].faces))
+
+
+def test_crate_time_varying_pointcloud_import():
+    path, = kusd.get_pointcloud_scene_paths(f"{TL}/output/pointcloud_0.usd")
+    pts0 = kusd.import_pointcloud(f"{TL}/output/pointcloud_0.usd",
+                                  path, time=0)
+    pts1 = kusd.import_pointcloud(f"{TL}/output/pointcloud_0.usd",
+                                  path, time=100)
+    p0, p1 = np.asarray(pts0.points), np.asarray(pts1.points)
+    assert p0.shape == p1.shape
+    assert not np.array_equal(p0, p1)
+
+
+def test_timelapse_parser_on_binary_checkpoints():
+    """TimelapseParser must read pxr-written binary checkpoint dirs like
+    text ones (frame discovery via crate timeSamples)."""
+    from kaolin_tpu.visualize import TimelapseParser
+    parser = TimelapseParser(TL)
+    cats = {c for (c, _) in parser.keys()} if hasattr(parser, "keys") else \
+        set(parser.dir_info.keys())
+    assert {"mesh", "pointcloud", "voxelgrid"} <= cats
