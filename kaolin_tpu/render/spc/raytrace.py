@@ -139,7 +139,13 @@ def _raytrace_fixed(octree, exsum, origin, direction, level, capacity,
 
 @functools.partial(jax.jit, static_argnames=("level", "capacity"))
 def _raytrace_frontier(octree, exsum, origin, direction, level, capacity):
-    """Global compacted-frontier BFS traversal — the TPU-fast path.
+    """Global compacted-frontier BFS traversal.
+
+    Dispatch policy: :func:`unbatched_raytrace` with ``max_nuggets=None``
+    uses THIS path whenever its packed-int32 guards hold (level <= 10,
+    ``8 * num_nodes < 2**23``), growing the capacity on overflow, and falls
+    back to ``_raytrace_perray`` otherwise. ``max_nuggets=<int>`` always
+    selects ``_raytrace_fixed`` (the explicit-capacity oracle).
 
     Work per level is proportional to the TRUE active (ray, node) count (the
     reference CUDA loop's property, ``raytrace_cuda.cu:505-630``), not to
@@ -172,7 +178,8 @@ def _raytrace_frontier(octree, exsum, origin, direction, level, capacity):
     c = int(capacity)
     if level > 10:
         raise NotImplementedError("packed coords support level <= 10")
-    if 8 * octree.shape[0] >= (1 << 23) or c >= (1 << 27):
+    if 8 * octree.shape[0] >= (1 << 23) or c >= (1 << 26):
+        # c < 2^26 keeps the scatter sentinel 9c + 8c below int32 range
         raise NotImplementedError("octree/capacity too large for packed "
                                   "int32 records")
 
@@ -210,7 +217,6 @@ def _raytrace_frontier(octree, exsum, origin, direction, level, capacity):
         cellw = 2.0 / (2 ** (l + 1))
         nt = node_tab[nidx]                                  # (C,) gather
         byte = nt & 0xFF
-        base = nt >> 8
         neg = rstate & 7
         ridx = rstate >> 3
         rox, roy, roz = ox[ridx], oy[ridx], oz[ridx]         # 6 (C,) gathers
@@ -250,13 +256,18 @@ def _raytrace_frontier(octree, exsum, origin, direction, level, capacity):
         level_counts.append(total)
         overflowed = overflowed | (total > c)
 
-        # pass 2: token scatter (token = slot*8 + visit pos; +1 so 0 = empty)
+        # pass 2: token scatter (token = slot*8 + visit pos; +1 so 0 = empty).
+        # Inactive lanes get DISTINCT out-of-range destinations (c + lane id)
+        # so the unique_indices promise genuinely holds — mode="drop"
+        # discards them all, but duplicated sentinels would be UB.
         wr = jnp.zeros((c,), jnp.int32)
         dests, tokens = [], []
         for v in range(8):
             cv = cands[v]
-            dests.append(jnp.where(cv, off + wr, c))
-            tokens.append((iota_c << 3) | v)
+            lane = (iota_c << 3) | v
+            # active overflow dests reach at most 8c; 9c + lane stays clear
+            dests.append(jnp.where(cv, off + wr, 9 * c + lane))
+            tokens.append(lane)
             wr = wr + cv.astype(jnp.int32)
         token_buf = jnp.zeros((c,), jnp.int32).at[
             jnp.concatenate(dests)].set(
@@ -309,7 +320,10 @@ def _raytrace_frontier(octree, exsum, origin, direction, level, capacity):
 @functools.partial(jax.jit, static_argnames=("level", "slots", "compaction"))
 def _raytrace_perray(octree, exsum, origin, direction, level, slots,
                      compaction="sort"):
-    """Per-ray fixed-slot BFS traversal — the TPU-fast path.
+    """Per-ray fixed-slot BFS traversal — the fallback when
+    ``_raytrace_frontier``'s packed-int32 guards don't hold (level > 10 or
+    huge octrees), and the path of record for (R, K)-shaped consumers like
+    ``bench.py``'s depth render.
 
     The capacity-buffer formulation above compacts ALL rays' candidates with
     one global ``jnp.nonzero`` per level (a full-capacity scan + scatter,
@@ -493,22 +507,43 @@ def unbatched_raytrace(octree, point_hierarchy, pyramid, exsum, origin,
     exsum = jnp.asarray(exsum)
 
     if max_nuggets is None:
-        # per-ray fixed-slot path: auto-grow K (slots per ray) on overflow
-        k = 16
-        k_ceiling = max(num_leaf, 16)
-        while True:
-            nidx, _, t_in2, t_out2, valid2, overflowed = _raytrace_perray(
-                octree, exsum, origin, direction, level, k)
-            if not bool(overflowed) or k >= k_ceiling:
-                break
-            k = min(k * 2, k_ceiling)
-        flat_valid = valid2.reshape(-1)
-        count = int(jnp.sum(flat_valid))
-        sel = jnp.nonzero(flat_valid, size=count)[0]
-        ridx = (sel // k).astype(jnp.int32)
-        pidx = nidx.reshape(-1)[sel].astype(jnp.int32)
-        t_in = t_in2.reshape(-1)[sel]
-        t_out = t_out2.reshape(-1)[sel]
+        use_frontier = (level <= 10 and 8 * octree.shape[0] < (1 << 23)
+                        and num_rays < (1 << 26))
+        if use_frontier:
+            # compacted-frontier path: auto-grow the global capacity
+            ceiling = min(_capacity_ceiling(num_rays, num_leaf, level),
+                          (1 << 26) - 1)
+            cap = min(max(4 * num_rays, 1024), ceiling)
+            while True:
+                ridx, pidx, t_in, t_out, mask, _, overflowed = \
+                    _raytrace_frontier(octree, exsum, origin, direction,
+                                       level, cap)
+                if not bool(overflowed) or cap >= ceiling:
+                    break
+                cap = min(cap * 2, ceiling)
+            # valid entries form a prefix (mask = iota < count)
+            count = int(jnp.sum(mask))
+            ridx = ridx[:count].astype(jnp.int32)
+            pidx = pidx[:count].astype(jnp.int32)
+            t_in = t_in[:count]
+            t_out = t_out[:count]
+        else:
+            # per-ray fixed-slot path: auto-grow K (slots/ray) on overflow
+            k = 16
+            k_ceiling = max(num_leaf, 16)
+            while True:
+                nidx, _, t_in2, t_out2, valid2, overflowed = _raytrace_perray(
+                    octree, exsum, origin, direction, level, k)
+                if not bool(overflowed) or k >= k_ceiling:
+                    break
+                k = min(k * 2, k_ceiling)
+            flat_valid = valid2.reshape(-1)
+            count = int(jnp.sum(flat_valid))
+            sel = jnp.nonzero(flat_valid, size=count)[0]
+            ridx = (sel // k).astype(jnp.int32)
+            pidx = nidx.reshape(-1)[sel].astype(jnp.int32)
+            t_in = t_in2.reshape(-1)[sel]
+            t_out = t_out2.reshape(-1)[sel]
     else:
         # explicit global capacity: the capacity-buffer oracle path
         ceiling = _capacity_ceiling(num_rays, num_leaf, level)

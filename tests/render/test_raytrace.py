@@ -231,3 +231,64 @@ def test_perray_compaction_modes_identical(spc):
     v = np.asarray(a[4])
     for i in (0, 1, 2, 3):  # nidx, morton, t_in, t_out agree where valid
         np.testing.assert_array_equal(np.asarray(a[i])[v], np.asarray(b[i])[v])
+
+
+def test_frontier_matches_fixed(spc):
+    """_raytrace_frontier (the auto-dispatch path) must emit the identical
+    nugget stream as the capacity-buffer oracle, including overflow
+    signalling and level-10 packed-coords boundary cases."""
+    from kaolin_tpu.render.spc.raytrace import (_raytrace_fixed,
+                                                _raytrace_frontier)
+    octree, ph, pyramid, exsum, pts, lvl = spc
+    rng = np.random.RandomState(5)
+    n = 64
+    origin = jnp.asarray(
+        rng.uniform(-2.5, 2.5, (n, 3)).astype(np.float32))
+    target = jnp.asarray(rng.uniform(-1, 1, (n, 3)).astype(np.float32))
+    direction = target - origin
+    direction = direction / jnp.linalg.norm(direction, axis=1, keepdims=True)
+
+    cap = 4096
+    fr, fp, ft_in, ft_out, fm, fcnt, fovf = _raytrace_frontier(
+        jnp.asarray(octree), jnp.asarray(exsum), origin, direction, lvl, cap)
+    xr, xp, xt_in, xt_out, xv, xcnt, xovf = _raytrace_fixed(
+        jnp.asarray(octree), jnp.asarray(exsum), origin, direction, lvl, cap)
+    assert not bool(fovf) and not bool(xovf)
+    np.testing.assert_array_equal(np.asarray(xcnt), np.asarray(fcnt))
+    cf, cx = int(jnp.sum(fm)), int(jnp.sum(xv))
+    assert cf == cx
+    # same (ray, point) nuggets in the same front-to-back order
+    np.testing.assert_array_equal(np.asarray(fr[:cf]), np.asarray(xr[:cx]))
+    np.testing.assert_array_equal(np.asarray(fp[:cf]), np.asarray(xp[:cx]))
+    np.testing.assert_allclose(np.asarray(ft_in[:cf]),
+                               np.asarray(xt_in[:cx]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ft_out[:cf]),
+                               np.asarray(xt_out[:cx]), atol=1e-5)
+
+    # overflow: a deliberately undersized capacity must signal on both paths
+    small = max(n, cf // 2)
+    *_, fovf2 = _raytrace_frontier(jnp.asarray(octree), jnp.asarray(exsum),
+                                   origin, direction, lvl, small)
+    *_, xovf2 = _raytrace_fixed(jnp.asarray(octree), jnp.asarray(exsum),
+                                origin, direction, lvl, small)
+    assert bool(fovf2) == bool(xovf2)
+    if cf > small:
+        assert bool(fovf2)
+
+
+def test_frontier_guard_level_11():
+    """Levels beyond the packed-coords range refuse loudly (the dispatcher
+    falls back to _raytrace_perray there)."""
+    from kaolin_tpu.render.spc.raytrace import _raytrace_frontier
+    pts = jnp.asarray(np.array([[0, 0, 0]], dtype=np.int16))
+    octree = unbatched_points_to_octree(pts, 11)
+    lengths = np.array([len(octree)], dtype=np.int32)
+    _, pyramids, exsum = scan_octrees(octree, lengths)
+    o = jnp.zeros((4, 3), jnp.float32) + 2.0
+    d = jnp.zeros((4, 3), jnp.float32).at[:, 0].set(-1.0)
+    with pytest.raises(NotImplementedError):
+        _raytrace_frontier(octree, exsum, o, d, 11, 256)
+    # the public API still works at level 11 via the perray fallback
+    ridx, pidx, depth = unbatched_raytrace(
+        octree, None, np.asarray(pyramids)[0], exsum, o, d, 11)
+    assert np.asarray(ridx).ndim == 1
