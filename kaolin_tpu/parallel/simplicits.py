@@ -205,7 +205,7 @@ def make_demo_scene(seed, num_qp=32, num_handles=3, dt=0.03,
                                 max_contact_pairs=max_contact_pairs,
                                 broad_phase=broad_phase,
                                 cell_capacity=32,
-                                slot_contact_capacity=32)
+                                max_occupied_cells=512)
     return scene
 
 

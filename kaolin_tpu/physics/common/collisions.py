@@ -8,17 +8,21 @@ Fixed-shape design for XLA. Three broad phases share one narrow phase:
 
 * ``dense`` — the (N, N) pairwise-distance mask; simplest, exact, O(N²).
 * ``grid`` — the TPU answer to the reference's ``wp.HashGrid`` (ref :641):
-  a DENSE cell grid. Points are binned into K slots per cell with one
-  unique-index scatter; every candidate pair is produced by comparing the
-  cell's slots against 13 half-stencil neighbor blocks + the in-cell upper
-  triangle, all materialized by STATIC padded slices — zero data-dependent
-  gathers (XLA gathers are latency-bound on TPU; the earlier
-  searchsorted-run hash grid spent 470 ms of a 510 ms step fetching
-  candidates at N=10.7k). The narrow-phase masks write partner ids
-  straight into a (slots, 14K) table (exact counts, no per-block caps);
-  compaction to the per-particle (N, K2) lists happens particle-major
-  after one narrow row gather. No global ``nonzero`` anywhere. All heavy
-  arrays keep the channel/K axes leading and the large cell/contact axis
+  an OCCUPIED-CELL-COMPACTED grid. Points are sorted by cell id once
+  (TPU sorts are cheap: ~1 ms/M keys on v5-lite, measured), ranked within
+  their cell by a segment scan, and scattered into a (K, M) slot table
+  over only the M occupied cells; a dense (num_cells,) int32 map carries
+  cell id → occupied rank so each occupied cell fetches its 13
+  half-stencil neighbor blocks with one tiny gather. The narrow test runs
+  on (K, K, 14, M) candidate blocks — work scales with OCCUPIED cells
+  (M·14·K²), not with the full grid volume (the earlier dense-slot grid
+  paid num_cells·14·K² in tests *and bytes*; at the 10.7k-particle bench
+  density every cell≈radius configuration blew past 1.5 GB, which
+  memory-cornered the cost search into coarse cells + K=128 where
+  overflow could never clear). One global ``nonzero(size=max_contacts)``
+  compacts the surviving pairs, so the Newton loop always sees
+  ``max_contacts`` contacts — never the padded candidate set. All heavy
+  arrays keep the channel/K axes leading and the large M/contact axis
   minor so VPU tiles don't pad 8- or 3-wide minors to 128 lanes (the same
   layout rule as flexicubes/dense.py, measured 5-20x there).
 * ``sweep`` — sort-and-window sweep-and-prune along the longest axis.
@@ -63,6 +67,10 @@ class Contacts(NamedTuple):
     ``wa``/``wb`` (C, H) and ``xa``/``xb`` (C, 4) are the per-side LBS
     factors (q-form); ``None`` when detection ran without skinning weights
     (then ``dx0`` (N, 3) is kept for the legacy gather-based evaluation).
+    ``qat``/``qbt`` (4H, C) are the flattened Kronecker factors
+    ``w ⊗ [x;1]`` hoisted at detection time — they are z-independent, so
+    building them once keeps every Newton/line-search energy eval from
+    re-broadcasting (C, 4H) tensors (VERDICT r3 #2b).
     """
     indices_a: jnp.ndarray      # int32, NULL for static/invalid
     indices_b: jnp.ndarray
@@ -74,6 +82,8 @@ class Contacts(NamedTuple):
     wb: Optional[jnp.ndarray] = None    # static/invalid)
     xa: Optional[jnp.ndarray] = None    # (C, 4) homogeneous rest coords
     xb: Optional[jnp.ndarray] = None
+    qat: Optional[jnp.ndarray] = None   # (4H, C) hoisted w ⊗ [x;1]
+    qbt: Optional[jnp.ndarray] = None
 
 
 def _q_factor(w, x):
@@ -110,7 +120,7 @@ class Collision:
                  friction_regularization=0.1, friction_fluid=0.1, friction=0.5,
                  max_contacting_pairs=10000, bounds=True,
                  broad_phase="dense", cell_capacity=16, sweep_window=128,
-                 slot_contact_capacity=16):
+                 slot_contact_capacity=None, max_occupied_cells=2048):
         self.dt = float(dt)
         self.collision_radius = float(collision_particle_radius)
         self.collision_detection_ratio = float(detection_ratio)
@@ -127,7 +137,11 @@ class Collision:
         self.broad_phase = broad_phase
         self.cell_capacity = int(cell_capacity)
         self.sweep_window = int(sweep_window)
-        self.slot_contact_capacity = int(slot_contact_capacity)
+        # deprecated (the per-particle K2 compaction stage is gone); kept so
+        # legacy callers passing it don't break
+        self.slot_contact_capacity = (None if slot_contact_capacity is None
+                                      else int(slot_contact_capacity))
+        self.max_occupied_cells = int(max_occupied_cells)
         self.grid_dims = None           # (Gx, Gy, Gz) static
         self.grid_origin = None         # (3,) array child
         self.grid_cell = None           # float cell side
@@ -142,7 +156,7 @@ class Collision:
                     self.grid_origin, self.grid_cell)
         return children, (self.max_contacts, self.bounds, self.broad_phase,
                           self.cell_capacity, self.sweep_window,
-                          self.slot_contact_capacity, self.grid_dims)
+                          self.max_occupied_cells, self.grid_dims)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -154,7 +168,8 @@ class Collision:
         obj.grid_origin = children[9] if len(children) > 9 else None
         obj.grid_cell = children[10] if len(children) > 10 else None
         obj.grid_dims = None
-        obj.slot_contact_capacity = 16
+        obj.slot_contact_capacity = None
+        obj.max_occupied_cells = 2048
         if len(aux) == 4:  # legacy aux layouts
             (obj.max_contacts, obj.bounds, obj.broad_phase,
              obj.cell_capacity) = aux
@@ -165,7 +180,7 @@ class Collision:
         else:
             (obj.max_contacts, obj.bounds, obj.broad_phase,
              obj.cell_capacity, obj.sweep_window,
-             obj.slot_contact_capacity, obj.grid_dims) = aux
+             obj.max_occupied_cells, obj.grid_dims) = aux
         return obj
 
     # -- grid configuration (host-side, static shapes) --
@@ -175,9 +190,10 @@ class Collision:
 
     # flag bits for the jit-friendly overflow bitmask (see :meth:`diag_flags`)
     FLAG_CELL_OVERFLOW = 1       # a cell held more than cell_capacity points
-    FLAG_SLOT_OVERFLOW = 2       # a particle's contact list exceeded K2
+    FLAG_OCC_OVERFLOW = 2        # occupied cells exceeded max_occupied_cells
     FLAG_CONTACTS_OVERFLOW = 4   # true pairs exceeded max_contacting_pairs
     FLAG_WINDOW_OVERFLOW = 8     # sweep window exceeded
+    FLAG_SLOT_OVERFLOW = 2       # legacy alias (pre-r4 bitmask layout)
 
     @staticmethod
     def diag_flags(diag):
@@ -188,7 +204,7 @@ class Collision:
         ``SimplicitsScene.check_collision_capacity``)."""
         flags = jnp.int32(0)
         for key, bit in (("cell_overflow", Collision.FLAG_CELL_OVERFLOW),
-                         ("slot_overflow", Collision.FLAG_SLOT_OVERFLOW),
+                         ("occ_overflow", Collision.FLAG_OCC_OVERFLOW),
                          ("contacts_overflow",
                           Collision.FLAG_CONTACTS_OVERFLOW),
                          ("window_overflow",
@@ -201,20 +217,23 @@ class Collision:
     def configure_grid(self, rest_pts, obj_ids=None, margin=0.5,
                        mem_budget=1.5e9, auto_capacities=True,
                        headroom=1.5, bounds_pts=None):
-        """Fix the dense cell grid's static geometry from the REST
+        """Fix the occupied-cell grid's static geometry from the REST
         configuration (host-side, once). The grid must be configured before
         a ``broad_phase='grid'`` detection can be traced.
 
         The cell side is chosen by a small cost search: candidates from the
-        detection radius upward, scored by the narrow-phase pair-test count
-        ``num_cells·K·14K`` (K = pow2-rounded 1.5× the measured max cell
-        occupancy) subject to the ``mem_budget`` on the candidate-table
-        bytes. Small cells pay for empty cells, large cells pay K² — the
-        measured occupancy resolves the trade per scene. Points that drift
-        outside the grid during simulation are clamped into the boundary
-        cells — clamping is a per-axis contraction, so close pairs stay in
-        adjacent cells and correctness is preserved; the extra boundary-cell
-        load is surfaced via :meth:`detection_diagnostics`.
+        detection radius upward (cell ≥ radius is required for half-stencil
+        adjacency), scored by the narrow-phase pair-test count ``M·14·K²``
+        (K = pow2-rounded ``headroom``× the measured max cell occupancy,
+        M = pow2-rounded ``headroom``× the measured occupied-cell count)
+        subject to ``mem_budget`` on the live candidate-block bytes. Because
+        cost scales with OCCUPIED cells only, fine cells are nearly free and
+        the search lands at cell≈radius for any physically packed scene —
+        the regime where K stays small. Points that drift outside the grid
+        during simulation are clamped into the boundary cells — clamping is
+        a per-axis contraction, so close pairs stay in adjacent cells and
+        correctness is preserved; the extra boundary-cell load is surfaced
+        via :meth:`detection_diagnostics`.
 
         Dims are rounded up to a multiple of 4 so scenes with near-equal
         extents get identical static shapes (scene-batch stacking).
@@ -225,6 +244,7 @@ class Collision:
         current positions when reconfiguring mid-simulation).
         """
         pts = np.asarray(rest_pts, np.float32)
+        n = max(len(pts), 1)
         radius = self.detection_radius
         span = (pts if bounds_pts is None
                 else np.concatenate([pts, np.asarray(bounds_pts,
@@ -236,82 +256,46 @@ class Collision:
         lo = lo0 - slack
         hi = hi0 + slack
 
+        def pow2(x, lo_, hi_):
+            return int(min(hi_, max(lo_, 1 << int(np.ceil(np.log2(
+                max(x, 1)))))))
+
         def measure(cell):
             dims = np.ceil((hi - lo) / cell).astype(np.int64)
             dims = (np.ceil(dims / 4.0) * 4).astype(np.int64)
             cc = np.clip(np.floor((pts - lo) / cell).astype(np.int64),
                          0, dims - 1)
             lin = (cc[:, 0] * dims[1] + cc[:, 1]) * dims[2] + cc[:, 2]
-            # O(N) occupancy via unique (bincount would allocate
-            # O(num_cells) host memory — hundreds of GB at fine cells)
-            occ = (np.unique(lin, return_counts=True)[1].max()
-                   if lin.size else 1)
-            k = int(min(128, max(8, 1 << int(np.ceil(np.log2(
-                headroom * occ))))))
+            counts = (np.unique(lin, return_counts=True)[1]
+                      if lin.size else np.array([1]))
+            k = pow2(headroom * counts.max(), 4, 512)
+            m = pow2(headroom * counts.size, 128, 2 * n)
             num_cells = int(dims.prod())
-            tests = num_cells * k * 14 * k
-            # live peak of _cellgrid_pairs ≈ blocks + stacked + transposed
-            # table + padded grid ≈ 4x the table bytes
-            peak_bytes = 4 * 14 * num_cells * k * k * 4
-            return dims, k, tests, peak_bytes
+            tests = m * k * 14 * k
+            # live peak of _cellgrid_pairs ≈ the f32 candidate-distance
+            # blocks (K, K, 14, M) + the neighbor gather (8, K, 14, M)
+            # + the dense cell→rank map
+            peak_bytes = (4 * tests + 4 * 8 * k * 14 * m
+                          + 4 * num_cells)
+            return dims, k, m, tests, peak_bytes
 
         best = None
         for i in range(40):   # 1.26^40 ≈ 1e4 — even degenerate bboxes land
             cell = radius * (1.26 ** i)
-            dims, k, tests, peak_bytes = measure(cell)
+            dims, k, m, tests, peak_bytes = measure(cell)
             fits = peak_bytes <= mem_budget
             score = (not fits, tests if fits else peak_bytes)
             if best is None or score < best[0]:
-                best = (score, cell, dims, k)
-            if int(dims.prod()) <= 4096:
+                best = (score, cell, dims, k, m)
+            if int(dims.prod()) <= 64:
                 break
-        _, cell, dims, k = best
+        _, cell, dims, k, m = best
         self.grid_dims = tuple(int(d) for d in dims)
         self.grid_origin = jnp.asarray(lo, jnp.float32)
         self.grid_cell = float(cell)
         if auto_capacities:
             self.cell_capacity = k
-            cc = np.clip(np.floor((pts - lo) / cell).astype(np.int64),
-                         0, dims - 1)
-            try:
-                from scipy.spatial import cKDTree
-                # exact rest-time one-sided contact counts under the SAME
-                # half-stencil ownership rule the kernel uses: in-cell pairs
-                # belong to the lower index; cross-cell pairs to the cell
-                # whose offset to the partner is lexicographically positive
-                pairs = cKDTree(pts).query_pairs(radius,
-                                                 output_type="ndarray")
-                if pairs.size:
-                    thr = (self.collision_radius
-                           * self.ignore_self_collision_ratio)
-                    d2 = np.sum((pts[pairs[:, 0]] - pts[pairs[:, 1]]) ** 2,
-                                axis=1)
-                    if obj_ids is not None:
-                        oid = np.asarray(obj_ids)
-                        immune = ((oid[pairs[:, 0]] == oid[pairs[:, 1]])
-                                  & (d2 < thr))
-                    else:
-                        immune = d2 < thr
-                    pairs = pairs[~immune]
-                if pairs.size:
-                    ci = cc[pairs[:, 0]]
-                    cj = cc[pairs[:, 1]]
-                    dcell = cj - ci
-                    lexpos = ((dcell[:, 0] > 0)
-                              | ((dcell[:, 0] == 0)
-                                 & ((dcell[:, 1] > 0)
-                                    | ((dcell[:, 1] == 0)
-                                       & (dcell[:, 2] > 0)))))
-                    same = (dcell == 0).all(axis=1)
-                    owner = np.where(same | lexpos, pairs[:, 0], pairs[:, 1])
-                    per_owner = np.bincount(owner).max()
-                else:
-                    per_owner = 0
-                self.slot_contact_capacity = int(
-                    min(128, max(8, 1 << int(np.ceil(np.log2(
-                        headroom * max(per_owner, 1)))))))
-            except Exception:
-                pass
+            self.max_occupied_cells = m
         return self
 
     # -- narrow-phase helpers --
@@ -340,144 +324,167 @@ class Collision:
             m = m & ~cp_exclude[ca] & ~cp_exclude[cb]
         return m
 
-    # -- dense cell-grid broad phase --
+    # -- occupied-cell-compacted grid broad phase --
     def _cellgrid_pairs(self, cur, cp_x0, cp_obj_ids, cp_is_static,
                         cp_exclude=None):
-        """Returns particle-major padded pairs: ``(ia, ib, valid)`` of shape
-        (N*K2,) plus a diagnostics dict. Zero data-dependent gathers except
-        one narrow (N, 14K) row gather at the end. ``cp_exclude`` (N,) bool
-        removes points from detection entirely (no binning, no diagnostics
-        footprint) — used for heterogeneous-batch phantom padding points."""
+        """Returns COMPACT pairs ``(ia, ib, valid)`` of shape
+        (max_contacts,) plus a diagnostics dict.
+
+        Pipeline (all static shapes): one argsort over N cell keys → a
+        segment scan for in-cell ranks and occupied-cell ranks → two
+        unique-index scatters into (·, K, M) slot tables over the M
+        occupied cells → a dense (num_cells,) cell→rank map → one (13, M)
+        neighbor-rank gather → the exact narrow test on (K, K, 14, M)
+        candidate blocks → one global ``nonzero(size=max_contacts)``.
+        Work and bytes scale with OCCUPIED cells (M·14·K²), never with the
+        grid volume. ``cp_exclude`` (N,) bool removes points from
+        detection entirely (no binning, no diagnostics footprint) — used
+        for heterogeneous-batch phantom padding points."""
         if self.grid_dims is None:
             if isinstance(cur, jax.core.Tracer):
                 raise RuntimeError(
                     "grid broad phase used under jit before configure_grid();"
                     " call Collision.configure_grid(rest_pts) first")
-            self.configure_grid(np.asarray(cp_x0 + 0 * cur),
-                                auto_capacities=False)
+            self.configure_grid(np.asarray(cp_x0 + 0 * cur))
         n = cur.shape[0]
         gx, gy, gz = self.grid_dims
         k = self.cell_capacity
-        k2 = self.slot_contact_capacity
+        m_cap = self.max_occupied_cells
         num_cells = gx * gy * gz
-        num_slots = num_cells * k
         f32 = cur.dtype
+        i32 = jnp.int32
+        iota = jnp.arange(n, dtype=i32)
 
         cellf = (cur - self.grid_origin) / self.grid_cell
-        cell = jnp.clip(cellf.astype(jnp.int32), 0,
-                        jnp.asarray([gx - 1, gy - 1, gz - 1], jnp.int32))
+        cell = jnp.clip(cellf.astype(i32), 0,
+                        jnp.asarray([gx - 1, gy - 1, gz - 1], i32))
         oob_mask = ((cellf < 0) | (cellf >= jnp.asarray(
             [gx, gy, gz], f32))).any(axis=1)
         if cp_exclude is not None:
             oob_mask = oob_mask & ~cp_exclude
-        oob = jnp.sum(oob_mask.astype(jnp.int32))
+        oob = jnp.sum(oob_mask.astype(i32))
         lin = (cell[:, 0] * gy + cell[:, 1]) * gz + cell[:, 2]
 
         if cp_exclude is not None:
             # excluded points sort to the end (cell id past every real one)
-            # so they never consume a real cell's capacity
+            # so they never occupy a real cell or the occupied-cell table
             lin = jnp.where(cp_exclude, num_cells, lin)
-        order = jnp.argsort(lin).astype(jnp.int32)
+        order = jnp.argsort(lin).astype(i32)
         lin_s = lin[order]
-        ex_s = (lin_s >= num_cells) if cp_exclude is not None else None
-        rank = (jnp.arange(n, dtype=jnp.int32)
-                - jnp.searchsorted(lin_s, lin_s, side="left"
-                                   ).astype(jnp.int32))
-        in_cap = rank < k
-        if ex_s is not None:
-            in_cap = in_cap & ~ex_s
-        slot = jnp.where(in_cap, lin_s * k + rank, num_slots)
-        over = ~in_cap if ex_s is None else (~in_cap & ~ex_s)
-        dropped = jnp.sum(over.astype(jnp.int32))
+        real_s = (lin_s < num_cells) if cp_exclude is not None \
+            else jnp.ones((n,), bool)
+
+        # in-cell rank + occupied-cell rank by segment scan (argsort is
+        # stable, so ranks follow original index order within a cell);
+        # searchsorted is deliberately avoided — measured 157 ms/M keys
+        # on v5-lite vs ~0.1 ms for the cummax scan
+        seg_start = jnp.concatenate(
+            [jnp.ones((1,), bool), lin_s[1:] != lin_s[:-1]])
+        run_first = jax.lax.cummax(jnp.where(seg_start, iota, 0))
+        rank = iota - run_first
+        occ_idx = jnp.cumsum(seg_start.astype(i32)) - 1     # per-point
+        n_occ = jnp.sum((seg_start & real_s).astype(i32))
+        occ_overflow = n_occ > m_cap
+        in_tab = (rank < k) & real_s & (occ_idx < m_cap)
+        dropped = jnp.sum(((rank >= k) & real_s).astype(i32))
+        max_occ = jnp.max(jnp.where(real_s, rank, -1)) + 1
 
         # packed channels: [cur(3), x0(3), meta, idx+1], CHANNELS-LEADING
         # (8, N); empty slots are all zero → idx channel 0 marks invalid.
         # TPU layout rule (see flexicubes/dense.py): the small channel/K
-        # axes lead and the large cell axis stays minor, so every
-        # narrow-phase op vectorizes over 128-lane tiles of cells instead
-        # of padding an 8- or K-wide minor.
+        # axes lead and the large M axis stays minor, so every narrow-phase
+        # op vectorizes over 128-lane tiles of occupied cells instead of
+        # padding an 8- or K-wide minor. Out-of-table points get DISTINCT
+        # out-of-range indices so mode="drop" discards them without
+        # violating the unique_indices promise.
         meta = (cp_obj_ids.astype(f32) * 2.0
                 + cp_is_static.astype(f32))[order]
         packed = jnp.concatenate(
             [cur[order].T, cp_x0[order].T, meta[None],
              (order + 1).astype(f32)[None]], axis=0)        # (8, N)
-        # K-major slot layout: flat index rank*num_cells + lin. Dropped /
-        # excluded points get DISTINCT out-of-range indices (num_slots + i)
-        # so mode="drop" discards them without violating unique_indices
-        # (a shared dump index would be undefined behavior under the
-        # uniqueness promise)
-        slot_km = jnp.where(
-            in_cap, rank * num_cells + lin_s,
-            num_slots + jnp.arange(n, dtype=jnp.int32))
-        grid = jnp.zeros((8, num_slots), f32).at[:, slot_km].set(
-            packed, unique_indices=True, mode="drop")
-        g5 = grid.reshape(8, k, gx, gy, gz)
-        gp = jnp.pad(g5, ((0, 0), (0, 0), (1, 1), (1, 1), (1, 1)))
+        slot = jnp.where(in_tab, rank * m_cap + occ_idx, k * m_cap + iota)
+        grid = jnp.zeros((8, k * m_cap), f32).at[:, slot].set(
+            packed, unique_indices=True, mode="drop"
+        ).reshape(8, k, m_cap)
 
-        c_pos = g5[0:3]                                     # (3, K, g,g,g)
-        c_x0 = g5[3:6]
-        c_meta = g5[6]                                      # (K, g,g,g)
-        c_ok = g5[7] > 0.5
+        # occupied-rank → cell id, and the dense cell id → occupied-rank
+        # map (sentinel m_cap = empty); only run starts write, with
+        # distinct out-of-range indices for everything else
+        is_head = seg_start & real_s & (occ_idx < m_cap)
+        head_slot = jnp.where(is_head, occ_idx, m_cap + iota)
+        occ_lin = jnp.full((m_cap,), num_cells, i32).at[head_slot].set(
+            lin_s, unique_indices=True, mode="drop")
+        map_idx = jnp.where(is_head, lin_s, num_cells + 1 + iota)
+        cell_map = jnp.full((num_cells + 1,), m_cap, i32).at[map_idx].set(
+            occ_idx, unique_indices=True, mode="drop")
 
-        # Narrow phase, slot-major: each cell's K slots against the cell's
-        # own upper triangle + 13 half-stencil neighbor blocks (static
-        # slices — zero gathers). Masked partner ids (+1; 0 = miss) are
-        # written into a (K_slot, 14, K_partner, cells) block stack, then
-        # ONE transpose brings it to the (slots, 14K) row-gather layout.
-        # Counts are EXACT (no per-block caps); compaction to (N, K2) runs
-        # particle-major after the row gather, so it scales with N rather
-        # than with the mostly empty slot count.
-        def masked_partners(nb, tri_mask=None):
-            """nb (8, K, g,g,g) candidate block → (K_slot, K_partner,
-            g,g,g) partner ids+1 masked by the exact narrow test (0 =
-            miss; ids ride as f32, exact below 2^24)."""
-            n_ok = nb[7] > 0.5
-            d2 = jnp.sum((c_pos[:, :, None] - nb[0:3, None]) ** 2, 0)
-            rest2 = jnp.sum((c_x0[:, :, None] - nb[3:6, None]) ** 2, 0)
-            m = (c_ok[:, None] & n_ok[None]
-                 & self._narrow_mask(d2, rest2, (c_meta // 2)[:, None],
-                                     (nb[6] // 2)[None]))
-            if tri_mask is not None:
-                m = m & tri_mask[:, :, None, None, None]
-            return jnp.where(m, nb[7][None], 0.0)
-
-        tri = (jnp.arange(k)[:, None] < jnp.arange(k)[None, :])
-        blocks = [masked_partners(g5, tri_mask=tri)]        # in-cell
+        # 13 half-stencil neighbor cell ids per occupied cell → occupied
+        # ranks (m_cap = absent/empty → zero-padded block)
+        czc = occ_lin % gz
+        cyc = (occ_lin // gz) % gy
+        cxc = occ_lin // (gy * gz)
+        have = occ_lin < num_cells
+        nbr_lins = []
         for (ox, oy, oz) in _HALF_OFFSETS:
-            blocks.append(masked_partners(
-                gp[:, :, 1 + ox:1 + ox + gx, 1 + oy:1 + oy + gy,
-                   1 + oz:1 + oz + gz]))
+            nx, ny, nz = cxc + ox, cyc + oy, czc + oz
+            ok = (have & (nx >= 0) & (nx < gx) & (ny >= 0) & (ny < gy)
+                  & (nz >= 0) & (nz < gz))
+            nbr_lins.append(jnp.where(ok, (nx * gy + ny) * gz + nz,
+                                      num_cells))
+        nbr_occ = cell_map[jnp.stack(nbr_lins)]             # (13, M)
 
-        nblk = len(blocks)                                  # 14
-        w2 = nblk * k
-        big = jnp.stack(blocks, axis=1)          # (K, 14, K, g,g,g)
-        table = jnp.transpose(
-            big.reshape(k, w2, num_cells), (2, 0, 1)
-        ).reshape(num_slots, w2)                 # rows in lin*K+rank order
-        table = jnp.concatenate([table, jnp.zeros((1, w2), f32)], axis=0)
-        ids_p = table[slot]                                 # (N, 14K) gather
-        valid1 = ids_p > 0.5
-        cnt_true = jnp.sum(valid1.astype(jnp.int32), axis=1)  # (N,) exact
-        num_pairs = jnp.sum(cnt_true)
-        slot_overflow = jnp.max(cnt_true) > k2
+        grid_p = jnp.concatenate(
+            [grid, jnp.zeros((8, k, 1), f32)], axis=2)      # (8, K, M+1)
+        nb = grid_p[:, :, nbr_occ]                          # (8, K, 13, M)
 
-        rank2 = jnp.cumsum(valid1.astype(jnp.int32), axis=1)
-        cols = [jnp.sum(jnp.where(valid1 & (rank2 == r + 1), ids_p, 0.0),
-                        axis=1) for r in range(k2)]
-        ib = jnp.stack(cols, axis=1).astype(jnp.int32) - 1  # (N, K2)
-        valid = (jnp.arange(k2, dtype=jnp.int32)[None, :]
-                 < jnp.minimum(cnt_true, k2)[:, None])
-        ia = jnp.broadcast_to(order[:, None], (n, k2))
+        c_pos, c_x0 = grid[0:3], grid[3:6]                  # (3, K, M)
+        c_meta, c_ok = grid[6], grid[7] > 0.5               # (K, M)
+
+        # exact narrow test; in-cell block uses the upper triangle so each
+        # unordered pair appears exactly once (cross-cell dedup is
+        # structural via the half stencil)
+        d2_in = jnp.sum((c_pos[:, :, None] - c_pos[:, None]) ** 2, 0)
+        r2_in = jnp.sum((c_x0[:, :, None] - c_x0[:, None]) ** 2, 0)
+        tri = (jnp.arange(k)[:, None] < jnp.arange(k)[None, :])
+        m_in = (tri[:, :, None] & c_ok[:, None] & c_ok[None]
+                & self._narrow_mask(d2_in, r2_in, (c_meta // 2)[:, None],
+                                    (c_meta // 2)[None]))   # (K, K, M)
+        n_ok = nb[7] > 0.5                                  # (K, 13, M)
+        d2_x = jnp.sum((c_pos[:, :, None, None] - nb[0:3][:, None]) ** 2, 0)
+        r2_x = jnp.sum((c_x0[:, :, None, None] - nb[3:6][:, None]) ** 2, 0)
+        m_x = (c_ok[:, None, None] & n_ok[None]
+               & self._narrow_mask(d2_x, r2_x,
+                                   (c_meta // 2)[:, None, None],
+                                   (nb[6] // 2)[None]))     # (K, K, 13, M)
+
+        mask_all = jnp.concatenate(
+            [m_in[:, :, None], m_x], axis=2)                # (K, K, 14, M)
+        pid = jnp.concatenate(
+            [grid[7][:, None], nb[7]], axis=1)              # (K, 14, M)
+
+        num_pairs = jnp.sum(mask_all.astype(i32))
+        flat = jnp.nonzero(mask_all.reshape(-1), size=self.max_contacts,
+                           fill_value=-1)[0]
+        valid = flat >= 0
+        safe = jnp.where(valid, flat, 0)
+        m_i = safe % m_cap
+        blk = (safe // m_cap) % 14
+        kp = (safe // (m_cap * 14)) % k
+        ks = safe // (m_cap * 14 * k)
+        ia = grid[7].reshape(-1)[ks * m_cap + m_i].astype(i32) - 1
+        ib = pid.reshape(-1)[(kp * 14 + blk) * m_cap + m_i].astype(i32) - 1
+        ia = jnp.where(valid, ia, 0)
+        ib = jnp.where(valid, ib, 0)
 
         diag = {"num_pairs": num_pairs,
-                "contacts_overflow": slot_overflow,
-                "slot_overflow": slot_overflow,
-                "max_slot_contacts": jnp.max(cnt_true),
+                "contacts_overflow": num_pairs > self.max_contacts,
                 "cell_overflow": dropped > 0,
                 "dropped_points": dropped,
+                "occ_overflow": occ_overflow,
+                "num_occupied": n_occ,
+                "max_cell_occupancy": max_occ,
                 "out_of_bounds": oob}
-        return (ia.reshape(-1), jnp.where(valid, ib, 0).reshape(-1),
-                valid.reshape(-1), diag)
+        return ia, ib, valid, diag
 
     # -- sweep-and-prune broad phase --
     def _sweep_candidates(self, cur, cp_x0, cp_obj_ids, radius):
@@ -589,10 +596,10 @@ class Collision:
                               cp_is_static=None, cp_exclude=None):
         """Capacity-overflow surfacing (jittable): ``num_pairs`` (true pair
         count), ``contacts_overflow`` (pairs were dropped), and per-phase
-        keys — grid: ``slot_overflow``/``max_slot_contacts`` (a particle's
-        one-sided contact list exceeded ``slot_contact_capacity``),
-        ``cell_overflow``/``dropped_points`` (a cell held more than
-        ``cell_capacity`` points), ``out_of_bounds`` (points clamped into
+        keys — grid: ``cell_overflow``/``dropped_points``/
+        ``max_cell_occupancy`` (a cell held more than ``cell_capacity``
+        points), ``occ_overflow``/``num_occupied`` (occupied cells exceeded
+        ``max_occupied_cells``), ``out_of_bounds`` (points clamped into
         boundary cells); sweep: ``max_window_load``/``window_overflow``.
         ``cp_exclude``'d points leave no footprint in any count."""
         n = cp_x0.shape[0]
@@ -694,13 +701,19 @@ class Collision:
             wb = jnp.where(b_on[None], rb[7:], 0.0).T
             xa = jnp.concatenate([ra[3:6], one], axis=0).T
             xb = jnp.concatenate([rb[3:6], one], axis=0).T
+            # hoist the z-independent Kronecker factors once — every
+            # energy/gradient/hessian/bounds eval in the Newton + line
+            # search loop reuses them (VERDICT r3 #2b)
+            qat = _q_factor_t(wa, xa)
+            qbt = _q_factor_t(wb, xb)
             dx0 = None
         else:
-            wa = wb = xa = xb = None
+            wa = wb = xa = xb = qat = qbt = None
             dx0 = cp_dx
         contacts = Contacts(indices_a=indices_a, indices_b=indices_b,
                             normals=nrm.T, kinematic_gaps=gaps.T, valid=valid,
-                            dx0=dx0, wa=wa, wb=wb, xa=xa, xb=xb)
+                            dx0=dx0, wa=wa, wb=wb, xa=xa, xb=xb,
+                            qat=qat, qbt=qbt)
         if return_diag:
             return contacts, diag
         return contacts
@@ -720,8 +733,9 @@ class Collision:
         ib = contacts.indices_b
         if zq is not None:
             z2t = _z_mat(zq).T                               # (3, 4H)
-            delta_a = z2t @ _q_factor_t(contacts.wa, contacts.xa)  # (3, C)
-            delta_b = z2t @ _q_factor_t(contacts.wb, contacts.xb)
+            qat, qbt = self._q_sides(contacts)
+            delta_a = z2t @ qat                              # (3, C)
+            delta_b = z2t @ qbt
         else:
             sa = jnp.where(ia != NULL, ia, 0)
             sb = jnp.where(ib != NULL, ib, 0)
@@ -851,9 +865,19 @@ class Collision:
 
     # -- q-form pullbacks: J^T g and J^T H J without materializing J --
     @staticmethod
+    def _q_sides(contacts: Contacts):
+        """Per-side (4H, C) Kronecker factors — the hoisted copies when
+        detection stored them, rebuilt from (w, x) otherwise (contacts
+        constructed by hand in tests / legacy callers)."""
+        if contacts.qat is not None:
+            return contacts.qat, contacts.qbt
+        return (_q_factor_t(contacts.wa, contacts.xa),
+                _q_factor_t(contacts.wb, contacts.xb))
+
+    @staticmethod
     def _q_diff(contacts: Contacts):
-        return (_q_factor(contacts.wa, contacts.xa)
-                - _q_factor(contacts.wb, contacts.xb))       # (C, 4H)
+        qat, qbt = Collision._q_sides(contacts)
+        return (qat - qbt).T                                 # (C, 4H)
 
     def pullback_gradient(self, contacts: Contacts, g_per_contact):
         """Raw-basis DOF gradient (D,) = Σ_c J_cᵀ g_c, computed from the
@@ -884,8 +908,7 @@ class Collision:
         delta since detection."""
         nor_t = contacts.normals.T                           # (3, C)
         dz2t = _z_mat(dzq).T                                 # (3, 4H)
-        qa_t = _q_factor_t(contacts.wa, contacts.xa)         # (4H, C)
-        qb_t = _q_factor_t(contacts.wb, contacts.xb)
+        qa_t, qb_t = self._q_sides(contacts)                 # (4H, C)
         delta_d_a = jnp.sum(nor_t * (dz2t @ qa_t), axis=0)   # (C,)
         delta_d_b = -jnp.sum(nor_t * (dz2t @ qb_t), axis=0)
 

@@ -403,20 +403,22 @@ class SimplicitsScene:
                           detection_ratio=1.5, impenetrable_barrier_ratio=0.25,
                           collision_penalty=1000.0, max_contact_pairs=10000,
                           friction=0.5, broad_phase=None, cell_capacity=None,
-                          sweep_window=None, slot_contact_capacity=None):
+                          sweep_window=None, slot_contact_capacity=None,
+                          max_occupied_cells=None):
         """Ref :838.
 
         ``broad_phase``: ``"dense"`` (exact O(N²) pair matrix), ``"grid"``
-        (dense cell grid built with one scatter; candidates from static
-        half-stencil slices — the TPU analog of the reference's
-        ``wp.HashGrid``, with zero data-dependent gathers), ``"sweep"``
-        (sort-and-window sweep — for elongated distributions with bounded
-        axis density), or None (auto — grid at/above
-        ``GRID_BROAD_PHASE_THRESHOLD`` contact particles, dense below).
-        ``cell_capacity`` (points per cell) and ``slot_contact_capacity``
-        (one-sided contacts per particle) default to sizes measured on the
-        REST configuration with headroom; overflow during simulation is
-        surfaced by :meth:`collision_diagnostics`.
+        (occupied-cell-compacted grid — one sort + slot scatter; candidate
+        blocks over occupied cells only; the TPU analog of the reference's
+        ``wp.HashGrid``), ``"sweep"`` (sort-and-window sweep — for
+        elongated distributions with bounded axis density), or None (auto —
+        grid at/above ``GRID_BROAD_PHASE_THRESHOLD`` contact particles,
+        dense below). ``cell_capacity`` (points per cell) and
+        ``max_occupied_cells`` default to sizes measured on the REST
+        configuration with headroom; overflow during simulation is surfaced
+        by :meth:`collision_diagnostics` and auto-resized.
+        ``slot_contact_capacity`` is accepted for API compatibility and
+        ignored (the per-particle compaction stage no longer exists).
         """
         if not self._ready_for_forces:
             self._get_scene_ready_for_forces()
@@ -439,8 +441,8 @@ class SimplicitsScene:
             bounds=True, broad_phase=broad_phase,
             cell_capacity=16 if cell_capacity is None else cell_capacity,
             sweep_window=128 if sweep_window is None else sweep_window,
-            slot_contact_capacity=(16 if slot_contact_capacity is None
-                                   else slot_contact_capacity))
+            max_occupied_cells=(2048 if max_occupied_cells is None
+                                else max_occupied_cells))
         if broad_phase == "grid":
             # geometry/capacities from REAL points only: phantom padding
             # points (heterogeneous batching) sit far outside the content
@@ -454,11 +456,11 @@ class SimplicitsScene:
                 np.asarray(self.sim_pts)[real],
                 obj_ids=np.asarray(self.qp_to_object_map)[real],
                 auto_capacities=(cell_capacity is None
-                                 or slot_contact_capacity is None))
+                                 or max_occupied_cells is None))
             if cell_capacity is not None:
                 collision.cell_capacity = int(cell_capacity)
-            if slot_contact_capacity is not None:
-                collision.slot_contact_capacity = int(slot_contact_capacity)
+            if max_occupied_cells is not None:
+                collision.max_occupied_cells = int(max_occupied_cells)
         self.force_dict["collision"] = {"object": collision,
                                         "coeff": float(collision_penalty)}
         self._step_fn = None
@@ -914,15 +916,15 @@ class SimplicitsScene:
                 else slice(None))
         if col.broad_phase == "grid":
             old = (col.grid_dims, col.cell_capacity,
-                   col.slot_contact_capacity)
+                   col.max_occupied_cells)
             col.configure_grid(
                 cur[real], obj_ids=np.asarray(self.qp_to_object_map)[real],
                 headroom=headroom,
                 bounds_pts=np.asarray(self.sim_pts)[real])
             warnings.warn(
                 f"collision capacity overflow (flags={flags:#x}); grid "
-                f"re-measured from the current configuration: dims/K/K2 "
-                f"{old} -> {(col.grid_dims, col.cell_capacity, col.slot_contact_capacity)}"
+                f"re-measured from the current configuration: dims/K/M "
+                f"{old} -> {(col.grid_dims, col.cell_capacity, col.max_occupied_cells)}"
                 f" (resize #{self.collision_resizes}, re-jit follows)")
         if flags & type(col).FLAG_CONTACTS_OVERFLOW:
             col.max_contacts = int(min(

@@ -108,12 +108,12 @@ def test_self_collision_immunity_respected():
 
 def test_overflow_diagnostics():
     dx, x0, obj_ids = _random_scene(0)
-    # deliberately undersized per-particle contact list: pairs get dropped
-    # and the diagnostic reports it
+    # deliberately undersized contact buffer: pairs get dropped and the
+    # diagnostic reports it
     small = Collision(dt=0.01, collision_particle_radius=0.15,
                       broad_phase="grid", max_contacting_pairs=4000)
     small.configure_grid(np.asarray(x0))
-    small.slot_contact_capacity = 2
+    small.max_contacts = 2
     diag = small.detection_diagnostics(dx, x0, obj_ids)
     assert bool(diag["contacts_overflow"])
     assert int(diag["num_pairs"]) > 2
@@ -126,6 +126,14 @@ def test_overflow_diagnostics():
     tiny_cells.cell_capacity = 1
     diag = tiny_cells.detection_diagnostics(dx, x0, obj_ids)
     assert bool(diag["cell_overflow"])
+
+    # deliberately undersized occupied-cell table: surfaced, not silent
+    few_cells = Collision(dt=0.01, collision_particle_radius=0.15,
+                          broad_phase="grid", max_contacting_pairs=4000)
+    few_cells.configure_grid(np.asarray(x0))
+    few_cells.max_occupied_cells = 2
+    diag = few_cells.detection_diagnostics(dx, x0, obj_ids)
+    assert bool(diag["occ_overflow"])
 
     # adequately sized (rest-measured capacities): no overflow
     ok = Collision(dt=0.01, collision_particle_radius=0.15,
