@@ -93,19 +93,23 @@ def time_fn(fn: Callable[[], object], *, repeats: int = 5,
 
     Runs ``warmup`` untimed calls (compile + autotune), then ``repeats``
     timed batches of ``calls_per_repeat`` calls each, fencing every batch
-    with ``block_until_ready``. Reports min and mean per-call time.
+    with :func:`sync` (a scalar readback — ``jax.block_until_ready`` does
+    NOT block on the axon tunnel platform, so fencing with it measures
+    dispatch only). Reports min and mean per-call time; calls within a
+    batch overlap dispatch, so this is a throughput ("dispatched rate")
+    number like ``bench.py``'s.
     """
     out = None
     for _ in range(max(warmup, 1)):
         out = fn()
-    jax.block_until_ready(out)
+    sync(out)
 
     samples = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         for _ in range(calls_per_repeat):
             out = fn()
-        jax.block_until_ready(out)
+        sync(out)
         samples.append((time.perf_counter() - t0) / calls_per_repeat)
     return Timing(ms=min(samples) * 1e3,
                   mean_ms=sum(samples) / len(samples) * 1e3,
