@@ -254,14 +254,17 @@ def bench_dibr(height=512, width=512, num_iters=20, n_lat=40, n_lon=64):
 # ---------------------------------------------------------------------------
 
 def bench_raytrace(level=9, res=512, num_frames=20):
-    """nglod-style depth render: pinhole rays vs a sphere-shell SPC at
-    ``level``; one jitted program = generate rays → BFS traversal →
-    per-ray first-hit depth image."""
+    """nglod-style depth render: pinhole camera vs a sphere-shell SPC at
+    ``level``; one jitted program per frame = bin units → Pallas tile
+    rasterizer → first-hit depth image (``render.spc.raster``; parity with
+    the BFS traversal is exact — tests/render/test_spc_raster.py)."""
     import jax
     import jax.numpy as jnp
     from kaolin_tpu.ops.spc import scan_octrees, unbatched_points_to_octree
-    from kaolin_tpu.render.camera import Camera, generate_rays
-    from kaolin_tpu.render.spc.raytrace import _raytrace_perray
+    from kaolin_tpu.ops.spc.spc import generate_points
+    from kaolin_tpu.render.camera import Camera
+    from kaolin_tpu.render.spc.raster import (build_raster_spc,
+                                              raster_first_hit)
 
     # dense unit-sphere shell voxelized at 2^level (analytic; build cost is
     # one-time setup and excluded, like the reference bench would exclude
@@ -277,43 +280,42 @@ def bench_raytrace(level=9, res=512, num_frames=20):
     octree = unbatched_points_to_octree(jnp.asarray(q.astype(np.int16)), level)
     lengths = np.array([len(octree)], dtype=np.int32)
     _, pyramids, exsum = scan_octrees(octree, lengths)
+    ph = generate_points(octree, pyramids, exsum)
     pyramid = np.asarray(pyramids)[0]
 
     camera = Camera.from_args(eye=jnp.asarray([1.6, 1.1, 1.6]),
                               at=jnp.zeros(3), up=jnp.asarray([0., 1., 0.]),
                               fov=0.8, width=res, height=res)
-    origins, dirs = generate_rays(camera)
-    origins = jnp.asarray(origins, jnp.float32)
-    dirs = jnp.asarray(dirs, jnp.float32)
-    num_rays = origins.shape[0]
+    rspc = build_raster_spc(ph, pyramid, level)
 
-    # per-ray fixed-slot traversal (row-local sorts, no global compaction);
-    # size K once by growing on overflow, then render at the validated K.
-    # The validated K persists to the sidecar so reruns skip the doubling
-    # recompiles (overflow is still checked — a stale K only costs one grow).
-    octree_j = jnp.asarray(octree)
-    exsum_j = jnp.asarray(exsum)
-    k = int(_sidecar_get(f"raytrace_k_l{level}_r{res}", 16))
-    while bool(_raytrace_perray(octree_j, exsum_j, origins, dirs, level,
-                                k)[-1]):
-        k *= 2
-    _sidecar_set(f"raytrace_k_l{level}_r{res}", k)
+    # binning capacities: validate once by growing on overflow, persist to
+    # the sidecar so reruns skip the doubling recompiles (overflow is still
+    # checked every frame — a stale entry only costs one grow)
+    key = f"raster_caps_l{level}_r{res}"
+    tile_px, s_max, c_cap = _sidecar_get(key, [8, 16, 32])
 
-    @jax.jit
-    def render_depth(o, v):
-        _, _, t_in, _, valid, _ = _raytrace_perray(
-            octree_j, exsum_j, o, v, level, k)
-        # first-hit depth per ray: nuggets are per-row front-to-back
-        img = jnp.min(jnp.where(valid, t_in, jnp.inf), axis=1)
-        return img.reshape(res, res)
+    def render(tpx, sm, cc):
+        t, nidx, valid, ov = raster_first_hit(rspc, camera, tile_px=tpx,
+                                              s_max=sm, c_cap=cc)
+        return t.reshape(res, res), ov
 
-    out = render_depth(origins, dirs)
+    while True:
+        out, ov = render(tile_px, s_max, c_cap)
+        slot_ov = int(np.asarray(ov["slot_overflow"]))
+        cap_ov = int(np.asarray(ov["cap_overflow"]))
+        if slot_ov == 0 and cap_ov == 0:
+            break
+        if slot_ov:
+            s_max *= 4
+        if cap_ov:
+            c_cap *= 2
+    _sidecar_set(key, [tile_px, s_max, c_cap])
     _sync(out)
     holder = {}
 
     def run():
         for _ in range(num_frames):
-            holder["out"] = render_depth(origins, dirs)
+            holder["out"], _ = render(tile_px, s_max, c_cap)
         return num_frames
 
     fps = _best_of(2, run, lambda: _sync(holder["out"]))

@@ -422,6 +422,7 @@ class SimplicitsScene:
         """
         if not self._ready_for_forces:
             self._get_scene_ready_for_forces()
+        auto_broad = broad_phase is None
         if broad_phase is None:
             broad_phase = ("grid" if self.total_qp >=
                            self.GRID_BROAD_PHASE_THRESHOLD else "dense")
@@ -461,11 +462,52 @@ class SimplicitsScene:
                 collision.cell_capacity = int(cell_capacity)
             if max_occupied_cells is not None:
                 collision.max_occupied_cells = int(max_occupied_cells)
+            if auto_broad:
+                # grid cells can never shrink below the detection radius, so
+                # dense point clouds packed tighter than the radius corner
+                # the grid into huge cell capacities where the candidate
+                # blocks (M·14·K²) dwarf the exact N² matrix. Pick whichever
+                # narrow-phase test count is smaller (host-side, configure
+                # time): for such scenes the dense broad phase IS the fast
+                # path on TPU (one (N, N) distance block, no slot padding).
+                n_real = int(np.sum(real))
+                grid_tests = (collision.max_occupied_cells * 14
+                              * collision.cell_capacity ** 2)
+                if n_real * n_real < grid_tests:
+                    collision.broad_phase = "dense"
         self.force_dict["collision"] = {"object": collision,
                                         "coeff": float(collision_penalty)}
         self._step_fn = None
         self._scan_fn = None
         self._deformed_fns = {}
+
+    def _collision_provably_empty(self):
+        """True when the enabled collision force can NEVER produce a contact,
+        so the step may skip detection entirely with identical semantics.
+
+        The narrow phase ignores same-object pairs whose REST squared
+        distance is under ``collision_radius * ignore_self_collision_ratio``
+        (the reference kernel's dimensional quirk, ref
+        ``kaolin/physics/common/collision.py:66-72``; the huge default ratio
+        effectively disables self-collision). Rest distances never change, so
+        for a SINGLE collision-active object whose rest bbox diagonal²
+        stays under that bound, every candidate pair is immune forever —
+        detection is a semantic no-op. The reference pays a HashGrid query
+        per step to discover the empty set; a query is latency-cheap on GPU
+        but block-padded on TPU, so proving emptiness host-side and skipping
+        is the TPU-shaped answer (scene floors/boundaries are separate
+        forces and unaffected)."""
+        if "collision" not in self.force_dict:
+            return True
+        col = self.force_dict["collision"]["object"]
+        ids = np.asarray(self.qp_to_object_map)
+        if self._has_phantoms:
+            ids = ids[~np.asarray(self.qp_is_phantom)]
+        if np.unique(ids).size > 1:
+            return False
+        pts = np.asarray(self.sim_pts)
+        diag2 = float(((pts.max(0) - pts.min(0)) ** 2).sum())
+        return diag2 < col.collision_radius * col.ignore_self_collision_ratio
 
     def _auto_sweep_window(self, collision_particle_radius, detection_ratio,
                            margin=1.5, minimum=64):
@@ -646,7 +688,8 @@ class SimplicitsScene:
         total_dofs = self.total_dofs
         dyn_idx = self.dyn_idx
         obj_slices = list(zip(self.obj_qp_slices, self.obj_z_slices))
-        has_collision = "collision" in self.force_dict
+        has_collision = ("collision" in self.force_dict
+                         and not self._collision_provably_empty())
         collision_bounds = (has_collision
                             and self.force_dict["collision"]["object"].bounds)
         nm_kwargs = dict(nm_max_iters=self.max_newton_steps,

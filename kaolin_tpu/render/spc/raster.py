@@ -1,0 +1,456 @@
+"""Tile-binned first-hit rasterizer for Structured Point Clouds.
+
+Reference capability: ``kaolin/csrc/render/spc/raytrace_cuda.cu:505-630``
+renders a first-hit depth/id image by running the breadth-first ray-octree
+traversal and keeping each ray's first nugget.  A GPU traversal is
+gather/scatter-bound; on TPU those per-candidate fetches run far below HBM
+bandwidth (the round-3 frontier/per-ray traversals measured 0.5-6 fps at
+512**2/level 9 against the reference's ~2000 fps).  First-hit rendering does
+not need the traversal at all, so this module re-derives it as a
+*rasterization* -- the shape TPUs are built for:
+
+1.  **Unit packing** (once per octree, host-side): the level-``L`` leaves --
+    already Morton-ordered by the SPC invariant -- are chunked into *units*
+    of 128 consecutive leaves.  Morton order is spatially coherent, so each
+    unit's tight world AABB is small.  A unit is one ``(8, 128)`` f32 VMEM
+    tile holding per-leaf box bounds: lanes = leaves, sublanes = coordinate
+    rows.  No gathers are ever needed to reach a leaf again.
+2.  **Binning** (per frame, jitted XLA): every unit AABB is projected through
+    the camera (8 corners, conservative pixel bbox -> screen-tile span) and
+    expanded into (tile, depth-quantized key) slot pairs; ONE small sort
+    (~U*16 keys, ~1 ms/M keys on v5-lite) plus a segment-rank scatter builds
+    the per-tile front-to-back unit table.  Capacity trips are surfaced, not
+    dropped: callers grow ``s_max``/``c_cap`` and re-jit (the same
+    grow-and-persist pattern as ``bench.py``'s traversal capacities).
+3.  **Pallas kernel** (per frame): grid = (tiles, c_cap); step (t, j) DMAs
+    tile t's j-th unit -- the block index comes from the scalar-prefetched
+    unit table, so Mosaic double-buffers the streams automatically -- and
+    slab-tests its 128 leaves against the tile's pixels on the VPU,
+    maintaining per-pixel min-t and winner id in the revisited output block.
+    Units arrive front-to-back, so once every pixel in the tile has a hit
+    closer than the next unit's conservative z lower bound the remaining
+    units are skipped (``@pl.when``) -- for opaque surfaces interior tiles
+    stop after the first few units.
+
+The slab arithmetic is kept OP-FOR-OP identical to
+``raytrace._raytrace_fixed``'s (same ``(b - o) * inv_d`` forms, same
+``tmax >= max(tmin, 0)`` validity), so depths match the traversal bitwise
+and the parity suite can assert exact agreement.
+
+``unbatched_raytrace`` remains the API for full nugget lists (volume
+integration); this module is the fast path for depth / first-hit id images
+(``kaolin/render/spc/raytrace.py:33`` consumers that immediately take the
+first hit per ray).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["RasterSPC", "build_raster_spc", "raster_first_hit",
+           "raster_first_hit_sequence"]
+
+_LANES = 128
+_BIG = 3.0e38
+_INT_BIG = 2 ** 30
+
+
+class RasterSPC(NamedTuple):
+    """Camera-independent rasterization payload for one SPC level.
+
+    units:  (U, 8, 128) f32 -- rows 0-2 leaf box min xyz, rows 3-5 box max
+            xyz (world coords, [-1, 1] cube), row 6 the leaf's int32
+            point-hierarchy index bit-cast to f32 (Mosaic block shapes must
+            be (8k, 128) tiles, so the id rides inside the coordinate tile
+            and is bit-cast back in-kernel), row 7 zero padding.  Dead lanes
+            (padding past the last leaf) carry +_BIG mins so they can never
+            produce a hit.
+    uids:   (U, 128) int32 -- global point-hierarchy index of each leaf
+            (``pyramid[1, level] + rank``), -1 on dead lanes.
+    uaabb:  (U, 8) f32 -- tight unit AABB (minx,miny,minz,maxx,maxy,maxz,0,0).
+    level:  octree level rasterized (static).
+    """
+
+    units: jax.Array
+    uids: jax.Array
+    uaabb: jax.Array
+    level: int
+
+
+def build_raster_spc(point_hierarchy, pyramid, level):
+    """Pack the level-``level`` leaves of an SPC into rasterization units.
+
+    Host-side, once per octree (the payload is camera-independent).
+    """
+    pyramid = np.asarray(pyramid)
+    start = int(pyramid[1, level])
+    num = int(pyramid[0, level])
+    leaves = np.asarray(point_hierarchy[start:start + num]).astype(np.int64)
+    cellw = 2.0 / (2 ** level)
+
+    u = max(1, (num + _LANES - 1) // _LANES)
+    qpad = u * _LANES
+    bmin = leaves.astype(np.float64) * cellw - 1.0           # (Q, 3)
+    rows = np.full((qpad, 8), 3.0e38, np.float32)
+    rows[:num, 0:3] = bmin
+    rows[:num, 3:6] = bmin + cellw
+    rows[:, 6:8] = 0.0
+    uids = np.full((qpad,), -1, np.int32)
+    uids[:num] = start + np.arange(num, dtype=np.int32)
+    rows[:, 6] = uids.view(np.float32)
+    units = np.ascontiguousarray(
+        rows.reshape(u, _LANES, 8).transpose(0, 2, 1))        # (U, 8, 128)
+    uids = uids.reshape(u, _LANES)
+
+    uaabb = np.zeros((u, 8), np.float32)
+    real = rows[:, 0] < 1.0e38
+    r3 = real.reshape(u, _LANES)
+    big = np.where(r3[..., None], rows.reshape(u, _LANES, 8)[..., 0:3],
+                   np.inf)
+    small = np.where(r3[..., None], rows.reshape(u, _LANES, 8)[..., 3:6],
+                     -np.inf)
+    uaabb[:, 0:3] = big.min(axis=1)
+    uaabb[:, 3:6] = small.max(axis=1)
+    # a fully-dead unit (only possible when num == 0) gets a degenerate box
+    dead_u = ~r3.any(axis=1)
+    uaabb[dead_u, 0:3] = 2.0e38
+    uaabb[dead_u, 3:6] = 2.0e38
+
+    return RasterSPC(units=jnp.asarray(units), uids=jnp.asarray(uids),
+                     uaabb=jnp.asarray(uaabb), level=level)
+
+
+# ---------------------------------------------------------------------------
+# per-frame binning (jitted XLA)
+# ---------------------------------------------------------------------------
+
+def _bin_units(uaabb, cam_r, cam_t, tan_h, tan_v, x0, y0, *, width, height,
+               tile_px, s_max, c_cap):
+    """Project unit AABBs -> per-tile, front-to-back unit tables.
+
+    Returns (tab (T, c_cap) int32 packed ``uid << 16 | zq``, counts (T,),
+    dz scalar, overflow dict of scalars).  Conservative throughout: a unit
+    straddling the eye plane is binned to every tile; pixel bboxes carry a
+    half-pixel + epsilon margin.
+    """
+    u = uaabb.shape[0]
+    tx_n = width // tile_px
+    ty_n = height // tile_px
+    t_n = tx_n * ty_n
+    side = int(math.isqrt(s_max))
+    assert side * side == s_max, "s_max must be a perfect square"
+
+    lo = uaabb[:, 0:3]
+    hi = uaabb[:, 3:6]
+    sel = jnp.asarray(
+        [[x, y, z] for x in (0, 1) for y in (0, 1) for z in (0, 1)],
+        jnp.float32)                                          # (8, 3)
+    corners = lo[:, None, :] * (1.0 - sel) + hi[:, None, :] * sel  # (U,8,3)
+    cam = jnp.einsum("ij,ucj->uci", cam_r, corners) + cam_t       # (U,8,3)
+    depth = -cam[..., 2]                                          # (U, 8)
+    front = depth > 1e-8
+    any_front = jnp.any(front, axis=1)
+    all_front = jnp.all(front, axis=1)
+    straddle = any_front & ~all_front
+
+    safe_d = jnp.where(front, depth, 1.0)
+    ndc_x = (cam[..., 0] / safe_d) / tan_h
+    ndc_y = -(cam[..., 1] / safe_d) / tan_v
+    px = (ndc_x + 1.0) * (width * 0.5) + x0                       # (U, 8)
+    py = (ndc_y + 1.0) * (height * 0.5) - y0
+    px_lo = jnp.min(jnp.where(front, px, _BIG), axis=1)
+    px_hi = jnp.max(jnp.where(front, px, -_BIG), axis=1)
+    py_lo = jnp.min(jnp.where(front, py, _BIG), axis=1)
+    py_hi = jnp.max(jnp.where(front, py, -_BIG), axis=1)
+
+    # pixel-center convention: pixel index i sees continuous coord i + 0.5
+    eps = 0.51
+    ix0 = jnp.ceil(px_lo - 0.5 - eps).astype(jnp.int32)
+    ix1 = jnp.floor(px_hi - 0.5 + eps).astype(jnp.int32)
+    iy0 = jnp.ceil(py_lo - 0.5 - eps).astype(jnp.int32)
+    iy1 = jnp.floor(py_hi - 0.5 + eps).astype(jnp.int32)
+    ix0 = jnp.where(straddle, 0, ix0)
+    iy0 = jnp.where(straddle, 0, iy0)
+    ix1 = jnp.where(straddle, width - 1, ix1)
+    iy1 = jnp.where(straddle, height - 1, iy1)
+    onscreen = (ix1 >= 0) & (ix0 <= width - 1) & (iy1 >= 0) & \
+        (iy0 <= height - 1)
+    ix0 = jnp.clip(ix0, 0, width - 1)
+    ix1 = jnp.clip(ix1, 0, width - 1)
+    iy0 = jnp.clip(iy0, 0, height - 1)
+    iy1 = jnp.clip(iy1, 0, height - 1)
+    live = any_front & onscreen & (uaabb[:, 0] < 1.0e38)
+
+    tx0 = ix0 // tile_px
+    tx1 = ix1 // tile_px
+    ty0 = iy0 // tile_px
+    ty1 = iy1 // tile_px
+    span_x = tx1 - tx0 + 1
+    span_y = ty1 - ty0 + 1
+    slot_overflow = jnp.sum(
+        (live & ((span_x > side) | (span_y > side))).astype(jnp.int32))
+
+    zmin = jnp.maximum(jnp.min(depth, axis=1), 0.0)
+    zmin = jnp.where(straddle, 0.0, zmin)
+    zmax_all = jnp.max(jnp.where(live, zmin, 0.0))
+    dz = (zmax_all + 1.0) / 65534.0
+    zq = jnp.clip((zmin / dz).astype(jnp.int32), 0, 65534)       # floor -> lb
+
+    iota_u = jnp.arange(u, dtype=jnp.int32)
+    keys, vals = [], []
+    for s in range(s_max):
+        dx, dy = s % side, s // side
+        tx = tx0 + dx
+        ty = ty0 + dy
+        ok = live & (dx < span_x) & (dy < span_y)
+        tile = ty * tx_n + tx
+        keys.append(jnp.where(ok, (tile << 16) | zq, jnp.int32(0x7FFFFFFF)))
+        vals.append((iota_u << 16) | zq)
+    key = jnp.concatenate(keys)
+    val = jnp.concatenate(vals)
+    key_s, val_s = jax.lax.sort((key, val), dimension=-1, num_keys=1)
+
+    n = key.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    tile_s = key_s >> 16
+    valid_s = key_s != jnp.int32(0x7FFFFFFF)
+    seg_start = jnp.concatenate(
+        [jnp.ones((1,), bool), tile_s[1:] != tile_s[:-1]])
+    run_first = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(seg_start, iota, 0))
+    rank = iota - run_first
+
+    counts = jnp.zeros((t_n,), jnp.int32).at[tile_s].add(
+        valid_s.astype(jnp.int32), mode="drop")
+    cap_overflow = jnp.sum((valid_s & (rank >= c_cap)).astype(jnp.int32))
+
+    dest = jnp.where(valid_s & (rank < c_cap), tile_s * c_cap + rank,
+                     t_n * c_cap)
+    tab = jnp.zeros((t_n * c_cap,), jnp.int32).at[dest].set(
+        val_s, mode="drop").reshape(t_n, c_cap)
+    counts = jnp.minimum(counts, c_cap)
+    return tab, counts, dz, {"slot_overflow": slot_overflow,
+                             "cap_overflow": cap_overflow}
+
+
+# ---------------------------------------------------------------------------
+# Pallas per-tile kernel
+# ---------------------------------------------------------------------------
+
+def _raster_kernel(tab_ref, cnt_ref, dz_ref, rays_ref, unit_ref,
+                   t_out, id_out, *, c_cap):
+    t = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        t_out[0, :, :] = jnp.full(t_out.shape[1:], _BIG, jnp.float32)
+        id_out[0, :, :] = jnp.full(id_out.shape[1:], -1, jnp.int32)
+
+    entry = tab_ref[t, j]
+    z_lb = (entry & 0xFFFF).astype(jnp.float32) * dz_ref[0]
+    count = cnt_ref[t]
+    not_done = jnp.max(t_out[0, :, 0]) >= z_lb
+
+    @pl.when((j < count) & not_done)
+    def _():
+        ox = rays_ref[0, :, 0:1]                              # (P, 1)
+        oy = rays_ref[0, :, 1:2]
+        oz = rays_ref[0, :, 2:3]
+        ixd = rays_ref[0, :, 3:4]
+        iyd = rays_ref[0, :, 4:5]
+        izd = rays_ref[0, :, 5:6]
+        bx = unit_ref[0, 0:1, :]                              # (1, 128)
+        by = unit_ref[0, 1:2, :]
+        bz = unit_ref[0, 2:3, :]
+        bxw = unit_ref[0, 3:4, :]
+        byw = unit_ref[0, 4:5, :]
+        bzw = unit_ref[0, 5:6, :]
+        # op-for-op the traversal's slab test (raytrace._raytrace_fixed)
+        tx0 = (bx - ox) * ixd                                 # (P, 128)
+        tx1 = (bxw - ox) * ixd
+        ty0 = (by - oy) * iyd
+        ty1 = (byw - oy) * iyd
+        tz0 = (bz - oz) * izd
+        tz1 = (bzw - oz) * izd
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                       jnp.minimum(ty0, ty1)),
+                           jnp.minimum(tz0, tz1))
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                       jnp.maximum(ty0, ty1)),
+                           jnp.maximum(tz0, tz1))
+        hit = tmax >= jnp.maximum(tmin, 0.0)
+        cand = jnp.where(hit, tmin, _BIG)
+        m = jnp.min(cand, axis=1, keepdims=True)              # (P, 1)
+        uid = jax.lax.bitcast_convert_type(unit_ref[0, 6:7, :], jnp.int32)
+        ids = jnp.broadcast_to(uid, cand.shape)
+        sel = jnp.min(jnp.where(cand == m, ids, _INT_BIG), axis=1,
+                      keepdims=True)
+        take = m < t_out[0, :, :]
+        id_out[0, :, :] = jnp.where(take, sel, id_out[0, :, :])
+        t_out[0, :, :] = jnp.where(take, m, t_out[0, :, :])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "tile_px", "s_max", "c_cap",
+                     "interpret"))
+def _raster_frame(units, uaabb, origin, direction, cam_r, cam_t,
+                  tan_h, tan_v, x0, y0, *, width, height, tile_px, s_max,
+                  c_cap, interpret=False):
+    tx_n = width // tile_px
+    ty_n = height // tile_px
+    t_n = tx_n * ty_n
+    p = tile_px * tile_px
+
+    tab, counts, dz, overflow = _bin_units(
+        uaabb, cam_r, cam_t, tan_h, tan_v, x0, y0, width=width,
+        height=height, tile_px=tile_px, s_max=s_max, c_cap=c_cap)
+
+    inv_dir = 1.0 / jnp.where(jnp.abs(direction) > 1e-12, direction,
+                              jnp.where(direction >= 0, 1e-12, -1e-12))
+    rays = jnp.concatenate(
+        [origin, inv_dir, jnp.zeros((origin.shape[0], 2), origin.dtype)],
+        axis=1)                                               # (R, 8)
+    rays = rays.reshape(ty_n, tile_px, tx_n, tile_px, 8) \
+        .transpose(0, 2, 1, 3, 4).reshape(t_n, p, 8)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(t_n, c_cap),
+        in_specs=[
+            pl.BlockSpec((1, p, 8), lambda t, j, tab, cnt, dz: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, _LANES),
+                         lambda t, j, tab, cnt, dz: (tab[t, j] >> 16, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, p, 1), lambda t, j, tab, cnt, dz: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, 1), lambda t, j, tab, cnt, dz: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    depth_t, hit_id = pl.pallas_call(
+        functools.partial(_raster_kernel, c_cap=c_cap),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((t_n, p, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((t_n, p, 1), jnp.int32)],
+        interpret=interpret,
+    )(tab, counts, dz.reshape(1), rays, units)
+
+    def untile(img):
+        return img[:, :, 0].reshape(ty_n, tx_n, tile_px, tile_px) \
+            .transpose(0, 2, 1, 3).reshape(height * width)
+
+    depth_t = untile(depth_t)
+    hit_id = untile(hit_id)
+    valid = depth_t < 1.0e38
+    depth_t = jnp.where(valid, depth_t, jnp.inf)
+    return depth_t, hit_id, valid, overflow
+
+
+@jax.jit
+def _prep_camera(camera):
+    """All camera-dependent arrays for one frame in ONE dispatch (the axon
+    tunnel pays ~3 ms per dispatch; an unjitted generate_rays chain is ~25
+    dispatches)."""
+    from kaolin_tpu.render.camera.raygen import generate_rays
+    from kaolin_tpu.render.camera.intrinsics import CameraFOV
+
+    origin, direction = generate_rays(camera)
+    return (jnp.asarray(origin, jnp.float32),
+            jnp.asarray(direction, jnp.float32),
+            camera.extrinsics.R[0].astype(jnp.float32),
+            camera.extrinsics.t[0, :, 0].astype(jnp.float32),
+            jnp.asarray(camera.intrinsics.tan_half_fov(CameraFOV.HORIZONTAL),
+                        jnp.float32).reshape(()),
+            jnp.asarray(camera.intrinsics.tan_half_fov(CameraFOV.VERTICAL),
+                        jnp.float32).reshape(()),
+            jnp.asarray(camera.x0, jnp.float32).reshape(()),
+            jnp.asarray(camera.y0, jnp.float32).reshape(()))
+
+
+def raster_first_hit(rspc, camera, *, tile_px=16, s_max=16, c_cap=None,
+                     interpret=None):
+    """First-hit depth/id image of an SPC level through ``camera``.
+
+    Returns ``(t (H*W,), nidx (H*W,), valid (H*W,), overflow)`` in the same
+    row-major ray order as :func:`generate_rays`; ``t`` is the slab entry
+    depth of the nearest intersected leaf (bitwise equal to the minimum
+    ``t_in`` the BFS traversal returns for that ray), ``nidx`` its
+    point-hierarchy index (-1 on miss).  ``overflow`` holds the binning
+    capacity diagnostics -- nonzero means grow ``s_max``/``c_cap`` and
+    re-render (results may silently miss cells until then).
+
+    Pinhole cameras only (the binning projects through the lens); use
+    :func:`unbatched_raytrace` for other lens types or full nugget lists.
+    """
+    from kaolin_tpu.utils.backend import pallas_interpret
+
+    if interpret is None:
+        interpret = pallas_interpret()
+    if c_cap is None:
+        c_cap = 32
+    assert camera.lens_type == "pinhole", "raster_first_hit needs a pinhole"
+    params = _prep_camera(camera)
+    return _raster_frame(
+        rspc.units, rspc.uaabb, *params,
+        width=int(camera.width), height=int(camera.height),
+        tile_px=tile_px, s_max=s_max, c_cap=c_cap, interpret=interpret)
+
+
+def raster_first_hit_sequence(rspc, cameras, *, tile_px=16, s_max=16,
+                              c_cap=32, interpret=None):
+    """Render a TRAJECTORY of pinhole cameras as ONE device program.
+
+    ``lax.scan`` over frames: every frame re-runs the full per-frame path
+    (projection, binning sort, Pallas tile kernel) on its own camera, but
+    the whole sequence costs one dispatch — the TPU answer to per-frame
+    launch overhead for turntables / flythroughs / dataset rendering
+    (the axon tunnel RPC alone is ~3 ms, a 512**2 frame renders faster than
+    that).  All cameras must share width/height.
+
+    Returns ``(t (F, H*W), nidx (F, H*W), valid (F, H*W), overflow)`` with
+    overflow counts summed over frames.
+    """
+    from kaolin_tpu.utils.backend import pallas_interpret
+
+    if interpret is None:
+        interpret = pallas_interpret()
+    width = int(cameras[0].width)
+    height = int(cameras[0].height)
+    for c in cameras:
+        assert c.lens_type == "pinhole", "raster needs pinhole cameras"
+        assert int(c.width) == width and int(c.height) == height
+    prepped = [_prep_camera(c) for c in cameras]
+    stacked = tuple(jnp.stack([p[i] for p in prepped])
+                    for i in range(len(prepped[0])))
+    return _raster_sequence(rspc.units, rspc.uaabb, stacked, width=width,
+                            height=height, tile_px=tile_px, s_max=s_max,
+                            c_cap=c_cap, interpret=interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "tile_px", "s_max", "c_cap",
+                     "interpret"))
+def _raster_sequence(units, uaabb, stacked, *, width, height, tile_px,
+                     s_max, c_cap, interpret):
+    def body(carry, frame):
+        t, nidx, valid, ov = _raster_frame(
+            units, uaabb, *frame, width=width, height=height,
+            tile_px=tile_px, s_max=s_max, c_cap=c_cap, interpret=interpret)
+        return carry, (t, nidx, valid, ov)
+
+    _, (t, nidx, valid, ov) = jax.lax.scan(body, 0, stacked)
+    return t, nidx, valid, {k: jnp.sum(v) for k, v in ov.items()}

@@ -178,9 +178,11 @@ def test_grid_scales_to_50k_points():
 # ---- product integration: the grid phase through SimplicitsScene ----
 
 def test_scene_broad_phase_auto_default():
-    """enable_collisions picks the accelerated broad phase at/above the
-    threshold, dense below (VERDICT r2 #1: dense must not be the at-scale
-    default; the TPU-fast choice is sweep-and-prune)."""
+    """enable_collisions picks the broad phase by measured narrow-phase
+    cost: grid when occupied-cell blocks beat the N² matrix (points sparse
+    relative to the detection radius), dense when the scene is packed
+    tighter than the radius (grid cells can't shrink below it, so K
+    explodes and M·14·K² dwarfs N²) and always dense below the threshold."""
     from kaolin_tpu.parallel.simplicits import make_demo_scene
     from kaolin_tpu.physics.simplicits.simulation import SimplicitsScene
 
@@ -188,10 +190,66 @@ def test_scene_broad_phase_auto_default():
                             broad_phase=None)
     assert small.force_dict["collision"]["object"].broad_phase == "dense"
 
+    # 2048 points packed in a unit box vs a 0.3 detection radius: every
+    # radius-sized cell holds hundreds of points — dense is cheaper
     thresh = SimplicitsScene.GRID_BROAD_PHASE_THRESHOLD
-    big = make_demo_scene(0, num_qp=thresh, with_kinematic=False,
-                          broad_phase=None, max_contact_pairs=4000)
-    assert big.force_dict["collision"]["object"].broad_phase == "grid"
+    packed = make_demo_scene(0, num_qp=thresh, with_kinematic=False,
+                             broad_phase=None, max_contact_pairs=4000)
+    col = packed.force_dict["collision"]["object"]
+    grid_tests = col.max_occupied_cells * 14 * col.cell_capacity ** 2
+    assert col.broad_phase == ("dense" if thresh * thresh < grid_tests
+                               else "grid")
+
+    # same count spread over a 20x larger box: cells at the radius are
+    # nearly empty, the grid wins and must stay the auto choice
+    spread = _spread_scene(num_qp=thresh, scale=20.0)
+    assert spread.force_dict["collision"]["object"].broad_phase == "grid"
+
+
+def _spread_scene(num_qp, scale, seed=0, radius=0.1):
+    from kaolin_tpu.physics.simplicits import (SimplicitsScene,
+                                               SkinnedPhysicsPoints)
+    rng = np.random.RandomState(seed)
+    pts = (rng.uniform(-0.5, 0.5, (num_qp, 3)) * scale).astype(np.float32)
+    w = np.ones((num_qp, 1), np.float32)
+    dwdx = np.zeros((num_qp, 1, 3), np.float32)
+    body = SkinnedPhysicsPoints(pts=pts, yms=1e4, prs=0.45, rhos=500.0,
+                                appx_vol=1.0, skinning_weights=w, dwdx=dwdx)
+    scene = SimplicitsScene(timestep=0.03, max_newton_steps=2, max_ls_steps=3)
+    scene.add_object(body, apply_qr=False)
+    scene.set_scene_gravity(jnp.asarray([0.0, 9.8, 0.0]))
+    scene.enable_collisions(collision_particle_radius=radius,
+                            broad_phase=None)
+    return scene
+
+
+def test_single_object_self_immune_scene_skips_detection():
+    """One collision object whose rest diagonal² is under the
+    self-immunity bound can never produce a contact: the scene must prove
+    this host-side and build a detection-free step with an IDENTICAL
+    trajectory to the collisions-off step (the floor force is separate and
+    still active)."""
+    from kaolin_tpu.parallel.simplicits import make_demo_scene
+
+    on = make_demo_scene(5, num_qp=40, with_kinematic=False,
+                         with_collision=True, broad_phase="dense")
+    assert on._collision_provably_empty()
+    off = make_demo_scene(5, num_qp=40, with_kinematic=False,
+                          with_collision=False)
+    for _ in range(6):
+        on.run_sim_step()
+        off.run_sim_step()
+    np.testing.assert_allclose(np.asarray(on.sim_z), np.asarray(off.sim_z),
+                               rtol=1e-6, atol=1e-7)
+
+    # two objects (body + plate): NOT provably empty, detection stays
+    two = make_demo_scene(5, num_qp=40, with_kinematic=True,
+                          broad_phase="dense")
+    assert not two._collision_provably_empty()
+    # huge spread: rest diagonal² exceeds the immunity bound even for a
+    # single object (self-collision is live), detection stays
+    huge = _spread_scene(num_qp=64, scale=300.0, radius=0.001)
+    assert not huge._collision_provably_empty()
 
 
 def test_run_sim_step_grid_matches_dense_trajectory():
