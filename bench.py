@@ -41,11 +41,35 @@ every config for a fast CPU correctness pass (numbers meaningless).
 import argparse
 import json
 import os
+import re
 import sys
 import threading
 import time
 
 import numpy as np
+
+_ANSI_RE = re.compile(r"\x1b\[[0-9;]*[a-zA-Z]")
+
+# failures score BELOW any measurable rate (the slowest rate any component
+# has ever measured is raytrace's 0.56 fps / 2000 bar = 2.8e-4; a 1e-3
+# floor would reward crashing over running slowly — ADVICE r4)
+_FAIL_RATIO = 1e-5
+
+
+def _clean_error(exc_text):
+    """First line of the exception, ANSI escapes stripped (tunnel errors
+    embed colored axon log lines — noise in a tracked artifact)."""
+    text = _ANSI_RE.sub("", str(exc_text)).strip()
+    return text.splitlines()[0][:300] if text else "unknown error"
+
+
+def _transient(exc):
+    """Errors worth one re-jit + retry: the axon remote-compile helper
+    returns HTTP 5xx on transient infra failures (BENCH_partial r4 showed
+    the same 500 hitting different components on different runs)."""
+    s = str(exc)
+    return ("remote_compile" in s or "HTTP 50" in s
+            or "DEADLINE_EXCEEDED" in s or "UNAVAILABLE" in s)
 
 BARS = {
     "simplicits": 150.0,   # steps/s
@@ -290,36 +314,75 @@ def bench_raytrace(level=9, res=512, num_frames=20):
 
     # binning capacities: validate once by growing on overflow, persist to
     # the sidecar so reruns skip the doubling recompiles (overflow is still
-    # checked every frame — a stale entry only costs one grow)
-    key = f"raster_caps_l{level}_r{res}"
-    tile_px, s_max, c_cap = _sidecar_get(key, [8, 16, 32])
+    # checked every frame — a stale entry only costs one grow). v2 key:
+    # the r4 entries carried 8px tiles, whose SMEM table cannot fit on v5e.
+    key = f"raster_caps_v2_l{level}_r{res}"
+    tile_px, s_max, c_cap = _sidecar_get(key, [16, 16, 32])
 
     def render(tpx, sm, cc):
         t, nidx, valid, ov = raster_first_hit(rspc, camera, tile_px=tpx,
                                               s_max=sm, c_cap=cc)
         return t.reshape(res, res), ov
 
-    while True:
-        out, ov = render(tile_px, s_max, c_cap)
-        slot_ov = int(np.asarray(ov["slot_overflow"]))
-        cap_ov = int(np.asarray(ov["cap_overflow"]))
-        if slot_ov == 0 and cap_ov == 0:
-            break
-        if slot_ov:
-            s_max *= 4
-        if cap_ov:
-            c_cap *= 2
-    _sidecar_set(key, [tile_px, s_max, c_cap])
-    _sync(out)
-    holder = {}
+    try:
+        while True:
+            out, ov = render(tile_px, s_max, c_cap)
+            slot_ov = int(np.asarray(ov["slot_overflow"]))
+            cap_ov = int(np.asarray(ov["cap_overflow"]))
+            if slot_ov == 0 and cap_ov == 0:
+                break
+            if slot_ov:
+                s_max *= 4
+            if cap_ov:
+                c_cap *= 2
+        _sidecar_set(key, [tile_px, s_max, c_cap])
+        _sync(out)
+        holder = {}
 
-    def run():
-        for _ in range(num_frames):
-            holder["out"], _ = render(tile_px, s_max, c_cap)
-        return num_frames
+        def run():
+            for _ in range(num_frames):
+                holder["out"], _ = render(tile_px, s_max, c_cap)
+            return num_frames
 
-    fps = _best_of(2, run, lambda: _sync(holder["out"]))
-    return fps
+        fps = _best_of(2, run, lambda: _sync(holder["out"]))
+        return fps, {"path": "raster"}
+    except Exception as e:
+        # fallback chain (VERDICT r4 #1): the component must never score 0
+        # because the Pallas kernel failed to compile — fall back to the
+        # XLA BFS traversal (slower, but correct and measurable)
+        import traceback
+        traceback.print_exc()
+        print(f"[bench] raytrace: raster path failed "
+              f"({_clean_error(e)}); falling back to BFS traversal",
+              file=sys.stderr, flush=True)
+        from kaolin_tpu.render.camera.raygen import generate_rays
+        from kaolin_tpu.render.spc.raytrace import (unbatched_raytrace,
+                                                    mark_first_hit)
+
+        origin, direction = generate_rays(camera)
+
+        def render_trav():
+            ridx, pidx, depth = unbatched_raytrace(
+                octree, ph, pyramids[0], exsum, origin, direction, level)
+            first = mark_first_hit(ridx)
+            img = jnp.full((res * res,), jnp.inf).at[
+                jnp.where(first, ridx, res * res)].min(
+                jnp.where(first, depth[:, 0], jnp.inf), mode="drop")
+            return img
+
+        out = render_trav()
+        _sync(out)
+        holder = {}
+        frames = max(2, num_frames // 4)
+
+        def run():
+            for _ in range(frames):
+                holder["out"] = render_trav()
+            return frames
+
+        fps = _best_of(2, run, lambda: _sync(holder["out"]))
+        return fps, {"path": "traversal_fallback",
+                     "raster_error": _clean_error(e)}
 
 
 # ---------------------------------------------------------------------------
@@ -550,15 +613,32 @@ class _Aggregate:
         self.lock = threading.Lock()
         self.components = {}
         self.extras = {}
-        self.ratios = {}       # name -> ratio (1e-3 for failed/timed out)
+        self.ratios = {}     # name -> ratio (_FAIL_RATIO for failed/timeout)
+        self.env = None
         self.final_printed = False
+
+    def set_env(self):
+        """Record backend + Pallas mode (VERDICT r4 #3: if the platform
+        plugin ever stops reporting 'tpu', kernels would silently run
+        interpreted — make that visible in every bench artifact)."""
+        try:
+            import jax
+            from kaolin_tpu.utils.backend import pallas_interpret
+            env = {"backend": jax.default_backend(),
+                   "pallas_interpret": bool(pallas_interpret())}
+            with self.lock:
+                self.env = env
+        except Exception:
+            pass
 
     def record(self, name, value=None, meta=None, error=None):
         with self.lock:
             if error is not None:
-                self.extras[name] = {"error": error[:300]}
-                self.ratios[name] = 1e-3
+                self.extras[name] = {"error": _clean_error(error)}
+                self.ratios[name] = _FAIL_RATIO
                 self.components[name] = 0.0
+                # stable schema: the _vs_a100 key is always present
+                self.components[f"{name}_vs_a100"] = 0.0
             else:
                 if meta:
                     self.extras[name] = meta
@@ -569,7 +649,7 @@ class _Aggregate:
 
     def payload(self):
         with self.lock:
-            ratios = [self.ratios.get(n, 1e-3) for n in self.selected]
+            ratios = [self.ratios.get(n, _FAIL_RATIO) for n in self.selected]
             missing = [n for n in self.selected if n not in self.ratios]
             geomean = float(np.exp(np.mean(np.log(ratios))))
             payload = {
@@ -581,6 +661,8 @@ class _Aggregate:
             }
             if missing:
                 payload["unfinished"] = missing
+            if self.env:
+                payload["env"] = dict(self.env)
             if self.extras:
                 payload["meta"] = {k: dict(v)
                                    for k, v in self.extras.items()}
@@ -657,15 +739,31 @@ def main():
         except Exception as e:  # record and keep measuring the rest
             import traceback
             traceback.print_exc()
-            agg.record(name, error=f"{type(e).__name__}: {e}")
-            agg.flush_partial()
-            continue
+            if _transient(e):
+                # transient tunnel/compile-helper failure: one bounded
+                # retry after a back-off (ADVICE r4 — a 500 on any
+                # component costs ~an order of magnitude of geomean)
+                print(f"[bench] {name}: transient error, retrying once",
+                      file=sys.stderr, flush=True)
+                time.sleep(10.0)
+                try:
+                    out = runners[name]()
+                except Exception as e2:
+                    traceback.print_exc()
+                    agg.record(name, error=f"{type(e2).__name__}: {e2}")
+                    agg.flush_partial()
+                    continue
+            else:
+                agg.record(name, error=f"{type(e).__name__}: {e}")
+                agg.flush_partial()
+                continue
         meta = None
         if isinstance(out, tuple):
             out, meta = out
         meta = dict(meta) if meta else {}
         meta["wall_s"] = round(time.perf_counter() - t_start, 1)
         agg.record(name, value=out, meta=meta)
+        agg.set_env()
         agg.flush_partial()
         print(f"[bench] {name}: {out:.2f} ({out / BARS[name]:.2f}x bar, "
               f"{meta['wall_s']:.0f}s incl. compile)",

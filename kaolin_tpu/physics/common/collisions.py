@@ -256,9 +256,15 @@ class Collision:
         lo = lo0 - slack
         hi = hi0 + slack
 
-        def pow2(x, lo_, hi_):
-            return int(min(hi_, max(lo_, 1 << int(np.ceil(np.log2(
-                max(x, 1)))))))
+        def mult(x, step, lo_, hi_):
+            # round capacities to a small multiple, NOT a power of two:
+            # the narrow-phase cost is M*14*K^2, so pow2 rounding (which
+            # round 4 used) can pay 2.7x on K alone — enough to lose to the
+            # exact N^2 matrix at bench scale (10.7k pts: measured K 64 vs
+            # real max occupancy 24). Shape changes re-jit, which capacity
+            # auto-resize already accounts for.
+            return int(min(hi_, max(lo_, step * int(np.ceil(
+                max(x, 1) / step)))))
 
         def measure(cell):
             dims = np.ceil((hi - lo) / cell).astype(np.int64)
@@ -268,8 +274,8 @@ class Collision:
             lin = (cc[:, 0] * dims[1] + cc[:, 1]) * dims[2] + cc[:, 2]
             counts = (np.unique(lin, return_counts=True)[1]
                       if lin.size else np.array([1]))
-            k = pow2(headroom * counts.max(), 4, 512)
-            m = pow2(headroom * counts.size, 128, 2 * n)
+            k = mult(headroom * counts.max(), 8, 8, 512)
+            m = mult(headroom * counts.size, 128, 128, 2 * n)
             num_cells = int(dims.prod())
             tests = m * k * 14 * k
             # live peak of _cellgrid_pairs ≈ the f32 candidate-distance

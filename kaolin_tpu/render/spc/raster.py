@@ -232,10 +232,15 @@ def _bin_units(uaabb, cam_r, cam_t, tan_h, tan_v, x0, y0, *, width, height,
         valid_s.astype(jnp.int32), mode="drop")
     cap_overflow = jnp.sum((valid_s & (rank >= c_cap)).astype(jnp.int32))
 
-    dest = jnp.where(valid_s & (rank < c_cap), tile_s * c_cap + rank,
+    # tab is TRANSPOSED (c_cap, t_n): it rides in SMEM as a scalar-prefetch
+    # operand, where the minor axis pads to 128 lanes — (t_n, c_cap) at
+    # 512**2/8px tiles padded 4096x32 -> 4096x128 = 2 MB and overflowed the
+    # 1 MB v5e SMEM (the round-4 real-chip compile failure); with the big
+    # tile axis minor the allocation is exact
+    dest = jnp.where(valid_s & (rank < c_cap), rank * t_n + tile_s,
                      t_n * c_cap)
-    tab = jnp.zeros((t_n * c_cap,), jnp.int32).at[dest].set(
-        val_s, mode="drop").reshape(t_n, c_cap)
+    tab = jnp.zeros((c_cap * t_n,), jnp.int32).at[dest].set(
+        val_s, mode="drop").reshape(c_cap, t_n)
     counts = jnp.minimum(counts, c_cap)
     return tab, counts, dz, {"slot_overflow": slot_overflow,
                              "cap_overflow": cap_overflow}
@@ -255,7 +260,7 @@ def _raster_kernel(tab_ref, cnt_ref, dz_ref, rays_ref, unit_ref,
         t_out[0, :, :] = jnp.full(t_out.shape[1:], _BIG, jnp.float32)
         id_out[0, :, :] = jnp.full(id_out.shape[1:], -1, jnp.int32)
 
-    entry = tab_ref[t, j]
+    entry = tab_ref[j, t]
     z_lb = (entry & 0xFFFF).astype(jnp.float32) * dz_ref[0]
     count = cnt_ref[t]
     not_done = jnp.max(t_out[0, :, 0]) >= z_lb
@@ -330,7 +335,7 @@ def _raster_frame(units, uaabb, origin, direction, cam_r, cam_t,
             pl.BlockSpec((1, p, 8), lambda t, j, tab, cnt, dz: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, _LANES),
-                         lambda t, j, tab, cnt, dz: (tab[t, j] >> 16, 0, 0),
+                         lambda t, j, tab, cnt, dz: (tab[j, t] >> 16, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
