@@ -40,13 +40,22 @@ class _Prim:
         self.path = path
         self.prim_type = prim_type
         self.attrs = {}        # name → (usd_type, value_string)
-        self.time_samples = {}  # name → {time: value_string}
+        self.time_samples = {}  # name → (usd_type, {time: value_string})
+        self.raw = {}          # name → raw value (binary export, lossless)
+        self.raw_ts = {}       # name → {time: raw value}
 
-    def set_attr(self, name, usd_type, value, time=None):
+    def set_attr(self, name, usd_type, value, time=None, raw=None):
+        """``raw`` (optional numpy/scalar) is kept alongside the formatted
+        USDA string so the binary ``.usdc`` writer is lossless — the text
+        formatting rounds to 6 significant digits."""
         if time is None:
             self.attrs[name] = (usd_type, value)
+            if raw is not None:
+                self.raw[name] = raw
         else:
             self.time_samples.setdefault(name, (usd_type, {}))[1][time] = value
+            if raw is not None:
+                self.raw_ts.setdefault(name, {})[time] = raw
 
 
 class UsdaStage:
@@ -68,28 +77,34 @@ class UsdaStage:
         prim = self._get_prim(scene_path, "Mesh")
         if faces is not None:
             faces_np = np.asarray(faces)
+            counts = np.full(faces_np.shape[0], faces_np.shape[1])
             prim.set_attr("faceVertexCounts", "int[]",
-                          _fmt_int_array(np.full(faces_np.shape[0],
-                                                 faces_np.shape[1])), time)
+                          _fmt_int_array(counts), time, raw=counts)
             prim.set_attr("faceVertexIndices", "int[]",
-                          _fmt_int_array(faces_np), time)
+                          _fmt_int_array(faces_np), time,
+                          raw=faces_np.reshape(-1))
         if vertices is not None:
             prim.set_attr("points", "point3f[]",
-                          _fmt_vec_array(vertices), time)
+                          _fmt_vec_array(vertices), time,
+                          raw=np.asarray(vertices))
         if uvs is not None:
             prim.set_attr("primvars:st", "texCoord2f[]",
-                          _fmt_vec_array(uvs, per=2), time)
+                          _fmt_vec_array(uvs, per=2), time,
+                          raw=np.asarray(uvs))
         if face_uvs_idx is not None:
             prim.set_attr("primvars:st:indices", "int[]",
-                          _fmt_int_array(face_uvs_idx), time)
+                          _fmt_int_array(face_uvs_idx), time,
+                          raw=np.asarray(face_uvs_idx).reshape(-1))
         return prim
 
     def add_pointcloud(self, scene_path, points, time=None, colors=None):
         prim = self._get_prim(scene_path, "Points")
-        prim.set_attr("points", "point3f[]", _fmt_vec_array(points), time)
+        prim.set_attr("points", "point3f[]", _fmt_vec_array(points), time,
+                      raw=np.asarray(points))
         if colors is not None:
             prim.set_attr("primvars:displayColor", "color3f[]",
-                          _fmt_vec_array(colors), time)
+                          _fmt_vec_array(colors), time,
+                          raw=np.asarray(colors))
         return prim
 
     def add_voxelgrid(self, scene_path, voxelgrid, time=None):
@@ -107,7 +122,19 @@ class UsdaStage:
     def save(self):
         """Write a properly NESTED prim tree: authored prims keep their type,
         intermediate path segments become Xforms, children (e.g. GeomSubsets
-        under a Mesh) are emitted inside their parent's block."""
+        under a Mesh) are emitted inside their parent's block.
+
+        ``.usd`` / ``.usdc`` filenames save as the binary Crate container
+        (ref ``io/usd/mesh.py:446`` exports binary via pxr; here via the
+        dependency-free writer, round-trip-tested against the independent
+        crate reader); anything else saves as USDA text."""
+        ext = os.path.splitext(self.file_path)[1].lower()
+        if ext in (".usd", ".usdc"):
+            from kaolin_tpu.io.usd.crate_write import write_usdc
+            os.makedirs(os.path.dirname(os.path.abspath(self.file_path)),
+                        exist_ok=True)
+            write_usdc(self.file_path, self)
+            return
         lines = ["#usda 1.0",
                  f'(\n    upAxis = "{self.up_axis}"\n)', ""]
         # trie of path segments
@@ -539,17 +566,21 @@ def add_gaussiancloud(stage, scene_path, positions, orientations, scales,
         sh_coeff = np.zeros((ori.shape[0], 1, 3), np.float32)
     sh = np.asarray(sh_coeff, dtype=np.float32)
     sh_degree = int(round(np.sqrt(sh.shape[1]))) - 1
-    prim.set_attr("positions", "point3f[]", _fmt_vec_array(positions), time)
+    prim.set_attr("positions", "point3f[]", _fmt_vec_array(positions), time,
+                  raw=np.asarray(positions))
     prim.set_attr("orientations", "quatf[]",
-                  _fmt_vec_array(ori_xyzw, per=4), time)
-    prim.set_attr("scales", "float3[]", _fmt_vec_array(scales), time)
+                  _fmt_vec_array(ori_xyzw, per=4), time, raw=ori_xyzw)
+    prim.set_attr("scales", "float3[]", _fmt_vec_array(scales), time,
+                  raw=np.asarray(scales))
     prim.set_attr("opacities", "float[]",
                   "[" + ", ".join(f"{float(x):g}"
                                   for x in np.asarray(opacities).reshape(-1))
-                  + "]", time)
-    prim.set_attr("radianceSphericalHarmonicsDegree", "int", str(sh_degree))
+                  + "]", time, raw=np.asarray(opacities).reshape(-1))
+    prim.set_attr("radianceSphericalHarmonicsDegree", "int", str(sh_degree),
+                  raw=sh_degree)
     prim.set_attr("radianceSphericalHarmonicsCoefficients", "float3[]",
-                  _fmt_vec_array(sh.reshape(-1, 3)), time)
+                  _fmt_vec_array(sh.reshape(-1, 3)), time,
+                  raw=sh.reshape(-1, 3))
     if local_to_world is not None:
         mat = np.asarray(local_to_world, dtype=np.float64)
         rows = ", ".join("(" + ", ".join(f"{x:g}" for x in r) + ")"
@@ -664,14 +695,16 @@ def add_physics_material(stage, scene_path, physics_points,
     prim = stage._get_prim(scene_path, "Xform")
     ns = f"kaolin_physics_material:{material_name}"
     prim.set_attr(f"{ns}:pts", "point3f[]",
-                  _fmt_vec_array(physics_points.pts), time)
+                  _fmt_vec_array(physics_points.pts), time,
+                  raw=np.asarray(physics_points.pts))
     for name in ("yms", "prs", "rhos"):
         arr = np.asarray(getattr(physics_points, name)).reshape(-1)
         prim.set_attr(f"{ns}:{name}", "float[]",
                       "[" + ", ".join(f"{float(x):g}" for x in arr) + "]",
-                      time)
+                      time, raw=arr)
     prim.set_attr(f"{ns}:appx_vol", "float",
-                  f"{float(physics_points.appx_vol):g}", time)
+                  f"{float(physics_points.appx_vol):g}", time,
+                  raw=float(physics_points.appx_vol))
     return prim
 
 
@@ -684,23 +717,26 @@ def add_skinned_physics(stage, scene_path, skinned_physics_points,
     ns = f"kaolin_physics_material:{instance_name}"
     sw = np.asarray(skinned_physics_points.skinning_weights)
     dw = np.asarray(skinned_physics_points.dwdx)
-    prim.set_attr(f"{ns}:num_handles", "int", str(sw.shape[1]))
+    prim.set_attr(f"{ns}:num_handles", "int", str(sw.shape[1]),
+                  raw=int(sw.shape[1]))
     prim.set_attr(f"{ns}:skinning_weights", "float[]",
                   "[" + ", ".join(f"{float(x):g}" for x in sw.reshape(-1))
-                  + "]", time)
+                  + "]", time, raw=sw.reshape(-1))
     prim.set_attr(f"{ns}:dwdx", "float[]",
                   "[" + ", ".join(f"{float(x):g}" for x in dw.reshape(-1))
-                  + "]", time)
+                  + "]", time, raw=dw.reshape(-1))
     if skinned_physics_points.renderable is not None:
         rend = skinned_physics_points.renderable
         prim.set_attr(f"{ns}:renderable_pts", "point3f[]",
-                      _fmt_vec_array(rend.pts), time)
+                      _fmt_vec_array(rend.pts), time,
+                      raw=np.asarray(rend.pts))
         prim.set_attr(
             f"{ns}:renderable_skinning_weights", "float[]",
             "[" + ", ".join(
                 f"{float(x):g}"
                 for x in np.asarray(rend.skinning_weights).reshape(-1))
-            + "]", time)
+            + "]", time,
+            raw=np.asarray(rend.skinning_weights).reshape(-1))
     return prim
 
 
