@@ -1,131 +1,206 @@
-/* Dash3D client: dependency-free canvas renderer + websocket geometry
- * streaming. Parses the same binary wire format as the reference
- * (kaolin/experimental/dash3d/util.py:28,64): framed messages of
- * int32[4] (type_id, view_id, snap_time, reserved) + geometry payload.
- * Renders meshes as flat-shaded triangles (painter's algorithm) and
- * point clouds as dots; drag to orbit, wheel to zoom.
+/* Dash3D client: WebGL renderer + websocket geometry streaming.
+ *
+ * Browser analog of the reference's three.js app
+ * (kaolin/experimental/dash3d/src/{app,renderer}.js) without the three.js
+ * dependency (this image serves no CDN): raw WebGL with z-buffered
+ * two-sided Lambert + headlight shading for meshes and size-attenuated
+ * point sprites for clouds. Orbit controls match OrbitControls basics:
+ * left-drag orbit, shift/right-drag pan, wheel dolly. The time slider
+ * re-requests every view at the chosen checkpoint (server snaps to the
+ * nearest authored time and answers only when it differs, like the
+ * reference's dedup).
+ *
+ * Wire parsing + camera math live in the shared module
+ * /static/geometry.js (Dash3DGeometry).
  */
 "use strict";
 
-const views = [];  // {canvas, ctx, geom, rotX, rotY, zoom, type, category, id, time}
+const G = window.Dash3DGeometry;
+const views = [];
 
-function normalizeGeom(positions) {
-  let mn = [Infinity, Infinity, Infinity], mx = [-Infinity, -Infinity, -Infinity];
-  for (let i = 0; i < positions.length; i += 3) {
-    for (let a = 0; a < 3; a++) {
-      mn[a] = Math.min(mn[a], positions[i + a]);
-      mx[a] = Math.max(mx[a], positions[i + a]);
+const MESH_VS = `
+attribute vec3 aPos; attribute vec3 aNrm;
+uniform mat4 uProj, uView; uniform float uScale; uniform vec3 uCenter;
+varying vec3 vNrmEye; varying vec3 vPosEye;
+void main() {
+  vec3 p = (aPos - uCenter) * uScale;
+  vec4 eye = uView * vec4(p, 1.0);
+  vPosEye = eye.xyz;
+  vNrmEye = mat3(uView) * aNrm;
+  gl_Position = uProj * eye;
+}`;
+
+const MESH_FS = `
+precision mediump float;
+varying vec3 vNrmEye; varying vec3 vPosEye;
+uniform vec3 uColor;
+void main() {
+  vec3 n = normalize(vNrmEye);
+  vec3 l = normalize(-vPosEye);            // headlight
+  float lam = abs(dot(n, l));              // two-sided
+  vec3 c = uColor * (0.25 + 0.75 * lam);
+  gl_FragColor = vec4(c, 1.0);
+}`;
+
+const PTS_VS = `
+attribute vec3 aPos;
+uniform mat4 uProj, uView; uniform float uScale; uniform vec3 uCenter;
+uniform float uViewH;
+void main() {
+  vec3 p = (aPos - uCenter) * uScale;
+  vec4 eye = uView * vec4(p, 1.0);
+  gl_Position = uProj * eye;
+  gl_PointSize = clamp(0.02 * uViewH / max(-eye.z, 0.05), 1.5, 9.0);
+}`;
+
+const PTS_FS = `
+precision mediump float;
+void main() {
+  vec2 d = gl_PointCoord - vec2(0.5);
+  if (dot(d, d) > 0.25) discard;           // round sprites
+  gl_FragColor = vec4(0.45, 0.72, 1.0, 1.0);
+}`;
+
+function compile(gl, vsSrc, fsSrc) {
+  const mk = (type, src) => {
+    const s = gl.createShader(type);
+    gl.shaderSource(s, src); gl.compileShader(s);
+    if (!gl.getShaderParameter(s, gl.COMPILE_STATUS))
+      throw new Error(gl.getShaderInfoLog(s));
+    return s;
+  };
+  const p = gl.createProgram();
+  gl.attachShader(p, mk(gl.VERTEX_SHADER, vsSrc));
+  gl.attachShader(p, mk(gl.FRAGMENT_SHADER, fsSrc));
+  gl.linkProgram(p);
+  if (!gl.getProgramParameter(p, gl.LINK_STATUS))
+    throw new Error(gl.getProgramInfoLog(p));
+  return p;
+}
+
+const MESH_COLORS = [[0.35, 0.62, 0.85], [0.85, 0.55, 0.35],
+                     [0.55, 0.80, 0.45], [0.80, 0.45, 0.70]];
+
+function uploadMeshes(view, meshes) {
+  const gl = view.gl;
+  view.buffers = meshes.map((mesh, mi) => {
+    const nrm = G.computeVertexNormals(mesh.verts, mesh.faces);
+    const vbo = gl.createBuffer(), nbo = gl.createBuffer(),
+          ibo = gl.createBuffer();
+    gl.bindBuffer(gl.ARRAY_BUFFER, vbo);
+    gl.bufferData(gl.ARRAY_BUFFER, mesh.verts, gl.STATIC_DRAW);
+    gl.bindBuffer(gl.ARRAY_BUFFER, nbo);
+    gl.bufferData(gl.ARRAY_BUFFER, nrm, gl.STATIC_DRAW);
+    gl.bindBuffer(gl.ELEMENT_ARRAY_BUFFER, ibo);
+    // Uint32 indices need OES_element_index_uint; fall back to Uint16
+    let itype = gl.UNSIGNED_INT;
+    if (gl.getExtension("OES_element_index_uint")) {
+      gl.bufferData(gl.ELEMENT_ARRAY_BUFFER, new Uint32Array(mesh.faces),
+                    gl.STATIC_DRAW);
+    } else {
+      gl.bufferData(gl.ELEMENT_ARRAY_BUFFER, new Uint16Array(mesh.faces),
+                    gl.STATIC_DRAW);
+      itype = gl.UNSIGNED_SHORT;
     }
-  }
-  const c = [0, 1, 2].map(a => 0.5 * (mn[a] + mx[a]));
-  const s = Math.max(mx[0] - mn[0], mx[1] - mn[1], mx[2] - mn[2]) || 1;
-  return {center: c, scale: 2.0 / s};
+    return {kind: "mesh", vbo, nbo, ibo, count: mesh.faces.length, itype,
+            color: MESH_COLORS[mi % MESH_COLORS.length]};
+  });
 }
 
-function parseMeshes(dv, off) {
-  const nmeshes = dv.getInt32(off, true); off += 16;
-  const meshes = [];
-  for (let m = 0; m < nmeshes; m++) {
-    const nv = dv.getInt32(off, true), nf = dv.getInt32(off + 4, true);
-    off += 8;
-    const verts = new Float32Array(dv.buffer, off, nv * 3); off += nv * 12;
-    const faces = new Int32Array(dv.buffer.slice(off, off + nf * 12)); off += nf * 12;
-    meshes.push({verts, faces});
-  }
-  return meshes;
-}
-
-function parseClouds(dv, off) {
-  const nclouds = dv.getInt32(off, true); off += 16;
-  const clouds = [];
-  for (let c = 0; c < nclouds; c++) {
-    const npts = dv.getInt32(off, true); off += 8;
-    off += 24;  // bbox min/max
-    const pts = new Float32Array(dv.buffer, off, npts * 3); off += npts * 12;
-    clouds.push({pts});
-  }
-  return clouds;
-}
-
-function project(v, view, w, h) {
-  // rotate around Y then X, orthographic
-  const cy = Math.cos(view.rotY), sy = Math.sin(view.rotY);
-  const cx = Math.cos(view.rotX), sx = Math.sin(view.rotX);
-  let x = v[0] * cy + v[2] * sy;
-  let z = -v[0] * sy + v[2] * cy;
-  let y = v[1] * cx - z * sx;
-  z = v[1] * sx + z * cx;
-  const s = 0.4 * Math.min(w, h) * view.zoom;
-  return [w / 2 + x * s, h / 2 - y * s, z];
+function uploadClouds(view, clouds) {
+  const gl = view.gl;
+  view.buffers = clouds.map(cloud => {
+    const vbo = gl.createBuffer();
+    gl.bindBuffer(gl.ARRAY_BUFFER, vbo);
+    gl.bufferData(gl.ARRAY_BUFFER, cloud.pts, gl.STATIC_DRAW);
+    return {kind: "points", vbo, count: cloud.pts.length / 3};
+  });
 }
 
 function drawView(view) {
-  const ctx = view.ctx, w = view.canvas.width, h = view.canvas.height;
-  ctx.fillStyle = "#111";
-  ctx.fillRect(0, 0, w, h);
-  if (!view.geom) return;
-  const g = view.geom;
-  const norm = g.norm;
-  const tv = (i, arr) => {
-    const v = [(arr[3 * i] - norm.center[0]) * norm.scale,
-               (arr[3 * i + 1] - norm.center[1]) * norm.scale,
-               (arr[3 * i + 2] - norm.center[2]) * norm.scale];
-    return project(v, view, w, h);
-  };
-  if (g.meshes) {
-    for (const mesh of g.meshes) {
-      const tris = [];
-      for (let f = 0; f < mesh.faces.length; f += 3) {
-        const a = tv(mesh.faces[f], mesh.verts);
-        const b = tv(mesh.faces[f + 1], mesh.verts);
-        const c = tv(mesh.faces[f + 2], mesh.verts);
-        // flat shade by screen-space normal z
-        const nz = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0]);
-        tris.push({a, b, c, z: (a[2] + b[2] + c[2]) / 3, nz});
-      }
-      tris.sort((p, q) => p.z - q.z);
-      for (const t of tris) {
-        const shade = Math.max(40, Math.min(230,
-          128 + 120 * t.nz / (Math.abs(t.nz) + 1e-5) *
-          Math.min(1, Math.abs(t.nz) / 2000)));
-        ctx.fillStyle = `rgb(${shade * 0.4},${shade * 0.75},${shade})`;
-        ctx.beginPath();
-        ctx.moveTo(t.a[0], t.a[1]);
-        ctx.lineTo(t.b[0], t.b[1]);
-        ctx.lineTo(t.c[0], t.c[1]);
-        ctx.closePath();
-        ctx.fill();
-      }
-    }
-  }
-  if (g.clouds) {
-    ctx.fillStyle = "#7fc8ff";
-    for (const cloud of g.clouds) {
-      for (let i = 0; i < cloud.pts.length / 3; i++) {
-        const p = tv(i, cloud.pts);
-        ctx.fillRect(p[0] - 1, p[1] - 1, 2, 2);
-      }
+  const gl = view.gl, w = view.canvas.width, h = view.canvas.height;
+  gl.viewport(0, 0, w, h);
+  gl.clearColor(0.066, 0.066, 0.066, 1.0);
+  gl.enable(gl.DEPTH_TEST);
+  gl.clear(gl.COLOR_BUFFER_BIT | gl.DEPTH_BUFFER_BIT);
+  if (!view.buffers || !view.norm) return;
+  const proj = G.perspective(0.7, w / h, 0.02, 100.0);
+  const mv = G.orbitView(view.rotX, view.rotY, view.dist, view.target);
+
+  for (const buf of view.buffers) {
+    const prog = buf.kind === "mesh" ? view.meshProg : view.ptsProg;
+    gl.useProgram(prog);
+    const u = name => gl.getUniformLocation(prog, name);
+    gl.uniformMatrix4fv(u("uProj"), false, proj);
+    gl.uniformMatrix4fv(u("uView"), false, mv);
+    gl.uniform1f(u("uScale"), view.norm.scale);
+    gl.uniform3fv(u("uCenter"), view.norm.center);
+    const aPos = gl.getAttribLocation(prog, "aPos");
+    gl.bindBuffer(gl.ARRAY_BUFFER, buf.vbo);
+    gl.enableVertexAttribArray(aPos);
+    gl.vertexAttribPointer(aPos, 3, gl.FLOAT, false, 0, 0);
+    if (buf.kind === "mesh") {
+      gl.uniform3fv(u("uColor"), buf.color);
+      const aNrm = gl.getAttribLocation(prog, "aNrm");
+      gl.bindBuffer(gl.ARRAY_BUFFER, buf.nbo);
+      gl.enableVertexAttribArray(aNrm);
+      gl.vertexAttribPointer(aNrm, 3, gl.FLOAT, false, 0, 0);
+      gl.bindBuffer(gl.ELEMENT_ARRAY_BUFFER, buf.ibo);
+      gl.drawElements(gl.TRIANGLES, buf.count, buf.itype, 0);
+    } else {
+      gl.uniform1f(u("uViewH"), h);
+      gl.drawArrays(gl.POINTS, 0, buf.count);
     }
   }
 }
 
 function setupView(canvas, type, category, id) {
-  const view = {canvas, ctx: canvas.getContext("2d"), geom: null,
-                rotX: -0.4, rotY: 0.7, zoom: 1.0, type, category, id,
-                time: 1e9, current_time: null};
-  let dragging = false, px = 0, py = 0;
-  canvas.addEventListener("mousedown", e => {dragging = true; px = e.offsetX; py = e.offsetY;});
-  window.addEventListener("mouseup", () => dragging = false);
-  canvas.addEventListener("mousemove", e => {
-    if (!dragging) return;
-    view.rotY += (e.offsetX - px) * 0.01;
-    view.rotX += (e.offsetY - py) * 0.01;
+  const gl = canvas.getContext("webgl", {preserveDrawingBuffer: true,
+                                         antialias: true});
+  if (!gl) {
+    canvas.replaceWith(Object.assign(document.createElement("div"),
+      {textContent: "WebGL unavailable"}));
+    return null;
+  }
+  const view = {
+    canvas, gl, type, category, id,
+    meshProg: compile(gl, MESH_VS, MESH_FS),
+    ptsProg: compile(gl, PTS_VS, PTS_FS),
+    buffers: null, norm: null,
+    rotX: -0.35, rotY: 0.6, dist: 3.2, target: [0, 0, 0],
+    time: 1e9, current_time: null,
+  };
+  let mode = null, px = 0, py = 0;
+  canvas.addEventListener("mousedown", e => {
+    mode = (e.button === 2 || e.shiftKey) ? "pan" : "orbit";
     px = e.offsetX; py = e.offsetY;
+    e.preventDefault();
+  });
+  canvas.addEventListener("contextmenu", e => e.preventDefault());
+  window.addEventListener("mouseup", () => mode = null);
+  canvas.addEventListener("mousemove", e => {
+    if (!mode) return;
+    const dx = e.offsetX - px, dy = e.offsetY - py;
+    px = e.offsetX; py = e.offsetY;
+    if (mode === "orbit") {
+      view.rotY += dx * 0.01;
+      view.rotX += dy * 0.01;
+      view.rotX = Math.max(-1.55, Math.min(1.55, view.rotX));
+    } else {
+      // pan in the camera plane, scaled by distance
+      const s = 0.0016 * view.dist;
+      const cy = Math.cos(view.rotY), sy = Math.sin(view.rotY);
+      const cx = Math.cos(view.rotX), sx = Math.sin(view.rotX);
+      const right = [cy, 0, sy], up = [sx * sy, cx, -sx * cy];
+      for (let a = 0; a < 3; a++)
+        view.target[a] += -dx * s * right[a] + dy * s * up[a];
+    }
     drawView(view);
   });
   canvas.addEventListener("wheel", e => {
     e.preventDefault();
-    view.zoom *= Math.exp(-e.deltaY * 0.001);
+    view.dist = Math.max(0.3, Math.min(30,
+      view.dist * Math.exp(e.deltaY * 0.001)));
     drawView(view);
   });
   views.push(view);
@@ -144,25 +219,25 @@ function connect() {
       return;
     }
     const dv = new DataView(ev.data);
-    const typeId = dv.getInt32(0, true);
-    const viewId = dv.getInt32(4, true);
-    const snap = dv.getInt32(8, true);
-    const view = views[viewId];
+    const head = G.parseHeader(dv);
+    const view = views[head.viewId];
     if (!view) return;
-    view.current_time = snap;
-    if (typeId === 0) {
-      const meshes = parseMeshes(dv, 16);
-      const all = meshes.length ? meshes[0].verts : new Float32Array(0);
-      view.geom = {meshes, norm: normalizeGeom(all)};
+    view.current_time = head.snapTime;
+    if (head.typeId === 0) {
+      const meshes = G.parseMeshes(dv, G.HEADER_BYTES);
+      uploadMeshes(view, meshes);
+      view.norm = G.normalizeGeom(
+        meshes.length ? meshes[0].verts : new Float32Array(0));
     } else {
-      const clouds = parseClouds(dv, 16);
-      const all = clouds.length ? clouds[0].pts : new Float32Array(0);
-      view.geom = {clouds, norm: normalizeGeom(all)};
+      const clouds = G.parseClouds(dv, G.HEADER_BYTES);
+      uploadClouds(view, clouds);
+      view.norm = G.normalizeGeom(
+        clouds.length ? clouds[0].pts : new Float32Array(0));
     }
     drawView(view);
-    const label = document.getElementById(`label-${viewId}`);
+    const label = document.getElementById(`label-${head.viewId}`);
     if (label) label.textContent =
-      `${view.type} "${view.category}"[${view.id}] @ t=${snap}`;
+      `${view.type} "${view.category}"[${view.id}] @ t=${head.snapTime}`;
   };
 
   ws.onopen = () => console.log("dash3d socket open");
@@ -188,14 +263,14 @@ function buildViews(dirinfo, ws) {
         div.appendChild(label);
         div.appendChild(canvas);
         container.appendChild(div);
-        setupView(canvas, type, category, id);
-        requests.push({type, category, id, time: 1e9, view_id: viewId});
+        if (setupView(canvas, type, category, id) !== null)
+          requests.push({type, category, id, time: 1e9, view_id: viewId});
       }
     }
   }
-  if (requests.length) ws.send(JSON.stringify({type: "geometry", data: requests}));
+  if (requests.length)
+    ws.send(JSON.stringify({type: "geometry", data: requests}));
 
-  // time slider re-requests geometry at a chosen timestamp
   const slider = document.getElementById("time-slider");
   if (slider) slider.addEventListener("change", () => {
     const reqs = views.map((v, i) => ({

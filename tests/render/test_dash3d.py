@@ -5,9 +5,12 @@ protocol: dirinfo, snap-to-time, dedup, malformed requests); these tests
 cover the wire format and the request dispatch headlessly.
 """
 
+import os
+import re
 import struct
 
 import numpy as np
+import pytest
 
 from kaolin_tpu.experimental.dash3d import (
     StreamingGeometryHelper,
@@ -106,3 +109,126 @@ def test_streaming_helper_snap_and_dedup(tmp_path):
         {"type": "mesh", "category": "nope", "id": 9, "time": 0,
          "view_id": 0}) is None
     assert helper.get_requested_geometry({"type": "mesh"}) is None
+
+
+# ---------------------------------------------------------------------------
+# frontend contract tests (the image ships no browser/node, so the JS wire
+# parser's byte-offset contract is pinned from Python — the same idea as the
+# reference's tests/integration/experimental/dash3d/test_binary_parse.js)
+# ---------------------------------------------------------------------------
+
+_STATIC = os.path.join(os.path.dirname(__file__), "..", "..", "kaolin_tpu",
+                       "experimental", "dash3d", "static")
+
+
+def _js_parse_meshes(blob, off):
+    """Python mirror of geometry.js parseMeshes — byte-for-byte the same
+    offset walk the browser performs."""
+    nmeshes = struct.unpack_from("<i", blob, off)[0]
+    off += 16
+    meshes = []
+    for _ in range(nmeshes):
+        nv, nf = struct.unpack_from("<2i", blob, off)
+        off += 8
+        verts = np.frombuffer(blob, "<f4", nv * 3, off).reshape(-1, 3)
+        off += nv * 12
+        faces = np.frombuffer(blob, "<i4", nf * 3, off).reshape(-1, 3)
+        off += nf * 12
+        meshes.append((verts, faces))
+    return meshes, off
+
+
+def _js_parse_clouds(blob, off):
+    """Python mirror of geometry.js parseClouds."""
+    nclouds = struct.unpack_from("<i", blob, off)[0]
+    off += 16
+    clouds = []
+    for _ in range(nclouds):
+        npts = struct.unpack_from("<i", blob, off)[0]
+        off += 8
+        bbox_min = np.frombuffer(blob, "<f4", 3, off)
+        bbox_max = np.frombuffer(blob, "<f4", 3, off + 12)
+        off += 24
+        pts = np.frombuffer(blob, "<f4", npts * 3, off).reshape(-1, 3)
+        off += npts * 12
+        clouds.append((pts, bbox_min, bbox_max))
+    return clouds, off
+
+
+def test_js_mesh_parse_contract():
+    """The geometry.js offset walk must decode meshes_to_binary exactly and
+    consume every byte (two meshes, unequal sizes)."""
+    v1, f1 = _sphere(1.0, 5, 7)
+    v2, f2 = _sphere(0.5, 8, 6)
+    blob = meshes_to_binary([v1, v2], [f1, f2])
+    meshes, end = _js_parse_meshes(blob, 0)
+    assert end == len(blob)
+    np.testing.assert_array_equal(meshes[0][0], v1)
+    np.testing.assert_array_equal(meshes[0][1], f1)
+    np.testing.assert_array_equal(meshes[1][0], v2)
+    np.testing.assert_array_equal(meshes[1][1], f2)
+
+
+def test_js_cloud_parse_contract():
+    v1, _ = _sphere(1.0, 5, 7)
+    v2, _ = _sphere(2.0, 4, 5)
+    blob = point_clouds_to_binary([v1, v2])
+    clouds, end = _js_parse_clouds(blob, 0)
+    assert end == len(blob)
+    np.testing.assert_array_equal(clouds[0][0], v1)
+    np.testing.assert_array_equal(clouds[1][0], v2)
+    np.testing.assert_array_equal(clouds[1][1], v2.min(0))
+    np.testing.assert_array_equal(clouds[1][2], v2.max(0))
+
+
+def test_static_assets_wellformed():
+    """Gross-syntax check of the shipped JS (no JS engine in the image):
+    balanced brackets outside strings/comments, required symbols present."""
+    for fname, symbols in (
+            ("geometry.js", ["parseMeshes", "parseClouds", "parseHeader",
+                             "computeVertexNormals", "Dash3DGeometry",
+                             "perspective", "orbitView"]),
+            ("dash3d.js", ["webgl", "uProj", "drawElements", "gl.POINTS",
+                           "Dash3DGeometry", "WebSocket"])):
+        with open(os.path.join(_STATIC, fname)) as f:
+            src = f.read()
+        for sym in symbols:
+            assert sym in src, (fname, sym)
+        # strip strings/comments, then require balanced delimiters
+        stripped = re.sub(r"//[^\n]*|/\*.*?\*/|`[^`]*`|\"[^\"]*\"|'[^']*'",
+                          "", src, flags=re.S)
+        for op, cl in ("{}", "()", "[]"):
+            assert stripped.count(op) == stripped.count(cl), (fname, op)
+
+
+def test_server_serves_frontend(tmp_path):
+    """Tornado integration: index + both static assets respond 200 and the
+    template includes the shared geometry module before the renderer."""
+    tornado = pytest.importorskip("tornado")
+    import asyncio
+    from tornado.httpclient import AsyncHTTPClient
+    from kaolin_tpu.experimental.dash3d.run import create_server
+
+    v, f = _sphere()
+    tl = Timelapse(str(tmp_path))
+    tl.add_mesh_batch(iteration=0, category="opt", vertices_list=[v],
+                      faces_list=[f])
+
+    async def drive():
+        app = create_server(str(tmp_path))
+        server = app.listen(0)
+        port = next(iter(server._sockets.values())).getsockname()[1]
+        client = AsyncHTTPClient()
+        index = await client.fetch(f"http://127.0.0.1:{port}/")
+        geom = await client.fetch(
+            f"http://127.0.0.1:{port}/static/geometry.js")
+        main = await client.fetch(
+            f"http://127.0.0.1:{port}/static/dash3d.js")
+        server.stop()
+        return index.body.decode(), geom.body.decode(), main.body.decode()
+
+    index, geom, main = asyncio.new_event_loop().run_until_complete(drive())
+    assert index.index("/static/geometry.js") < index.index(
+        "/static/dash3d.js")
+    assert "Dash3DGeometry" in geom
+    assert "webgl" in main
