@@ -85,16 +85,52 @@ class RasterSPC(NamedTuple):
     level: int
 
 
+def _median_cut_order(leaves):
+    """Recursive median-cut into tight chunks of 128 leaves.
+
+    Chunking leaves in raw Morton order (the round-4 design) gives MOSTLY
+    tight unit AABBs, but a 128-run that straddles an octant boundary spans
+    a huge box — measured on the level-9 sphere shell, such units forced
+    the tile-span capacity to 1024 (a unit binned to the whole screen) and
+    c_cap to 128. Median cut (split the widest axis at a 128-aligned
+    median, recurse) bounds every chunk's extent by construction.
+    """
+    order = np.arange(len(leaves), dtype=np.int64)
+    out = []
+
+    def rec(ids):
+        if len(ids) <= _LANES:
+            out.append(ids)
+            return
+        pts = leaves[ids]
+        ax = int(np.argmax(pts.max(0) - pts.min(0)))
+        half = (len(ids) // 2 + _LANES - 1) // _LANES * _LANES
+        if half >= len(ids):
+            half = _LANES * (max(1, len(ids) // _LANES // 2))
+        srt = ids[np.argsort(pts[:, ax], kind="stable")]
+        rec(srt[:half])
+        rec(srt[half:])
+
+    rec(order)
+    return np.concatenate(out)
+
+
 def build_raster_spc(point_hierarchy, pyramid, level):
     """Pack the level-``level`` leaves of an SPC into rasterization units.
 
     Host-side, once per octree (the payload is camera-independent).
+    Leaves are reordered by median cut so every unit's AABB is tight (see
+    :func:`_median_cut_order`); ``uids`` keeps the original
+    point-hierarchy index per lane, so results are identical to the
+    Morton-order traversal.
     """
     pyramid = np.asarray(pyramid)
     start = int(pyramid[1, level])
     num = int(pyramid[0, level])
     leaves = np.asarray(point_hierarchy[start:start + num]).astype(np.int64)
     cellw = 2.0 / (2 ** level)
+    perm = _median_cut_order(leaves) if num else np.zeros(0, np.int64)
+    leaves = leaves[perm]
 
     u = max(1, (num + _LANES - 1) // _LANES)
     qpad = u * _LANES
@@ -104,7 +140,7 @@ def build_raster_spc(point_hierarchy, pyramid, level):
     rows[:num, 3:6] = bmin + cellw
     rows[:, 6:8] = 0.0
     uids = np.full((qpad,), -1, np.int32)
-    uids[:num] = start + np.arange(num, dtype=np.int32)
+    uids[:num] = (start + perm).astype(np.int32)
     rows[:, 6] = uids.view(np.float32)
     units = np.ascontiguousarray(
         rows.reshape(u, _LANES, 8).transpose(0, 2, 1))        # (U, 8, 128)
@@ -204,18 +240,20 @@ def _bin_units(uaabb, cam_r, cam_t, tan_h, tan_v, x0, y0, *, width, height,
     dz = (zmax_all + 1.0) / 65534.0
     zq = jnp.clip((zmin / dz).astype(jnp.int32), 0, 65534)       # floor -> lb
 
+    # vectorized slot expansion — an unrolled python loop over s_max slots
+    # made compile time explode at large spans (s_max=1024 measured >10 min)
     iota_u = jnp.arange(u, dtype=jnp.int32)
-    keys, vals = [], []
-    for s in range(s_max):
-        dx, dy = s % side, s // side
-        tx = tx0 + dx
-        ty = ty0 + dy
-        ok = live & (dx < span_x) & (dy < span_y)
-        tile = ty * tx_n + tx
-        keys.append(jnp.where(ok, (tile << 16) | zq, jnp.int32(0x7FFFFFFF)))
-        vals.append((iota_u << 16) | zq)
-    key = jnp.concatenate(keys)
-    val = jnp.concatenate(vals)
+    s = jnp.arange(s_max, dtype=jnp.int32)
+    dx, dy = s % side, s // side                              # (S,)
+    tx = tx0[:, None] + dx[None]                              # (U, S)
+    ty = ty0[:, None] + dy[None]
+    ok = (live[:, None] & (dx[None] < span_x[:, None])
+          & (dy[None] < span_y[:, None]))
+    tile = ty * tx_n + tx
+    key = jnp.where(ok, (tile << 16) | zq[:, None],
+                    jnp.int32(0x7FFFFFFF)).reshape(-1)
+    val = jnp.broadcast_to(((iota_u << 16) | zq)[:, None],
+                           (u, s_max)).reshape(-1)
     key_s, val_s = jax.lax.sort((key, val), dimension=-1, num_keys=1)
 
     n = key.shape[0]
@@ -250,58 +288,100 @@ def _bin_units(uaabb, cam_r, cam_t, tan_h, tan_v, x0, y0, *, width, height,
 # Pallas per-tile kernel
 # ---------------------------------------------------------------------------
 
-def _raster_kernel(tab_ref, cnt_ref, dz_ref, rays_ref, unit_ref,
-                   t_out, id_out, *, c_cap):
+def _raster_kernel(tab_ref, cnt_ref, dz_ref, rays_ref, units_hbm,
+                   t_out, id_out, ubuf, sems, *, c_cap):
+    """One grid step per TILE: walk the tile's front-to-back unit list with
+    a double-buffered manual DMA pipeline (units stay in HBM; each
+    iteration waits the current unit's copy, prefetches the next, runs the
+    slab test, and stops as soon as every pixel's best hit is closer than
+    the next unit's conservative depth lower bound).
+
+    The round-4 design ran grid=(tiles, c_cap) with one unit per step —
+    per-step overhead (DMA issue + predicate) was paid for all
+    tiles x c_cap steps even when ``@pl.when`` skipped the body, which
+    measured 90 ms/frame at real capacities. Here skipped work costs
+    nothing: empty tiles do no DMA at all, and the while_loop runs only as
+    many iterations as the tile needs.
+    """
     t = pl.program_id(0)
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _():
-        t_out[0, :, :] = jnp.full(t_out.shape[1:], _BIG, jnp.float32)
-        id_out[0, :, :] = jnp.full(id_out.shape[1:], -1, jnp.int32)
-
-    entry = tab_ref[j, t]
-    z_lb = (entry & 0xFFFF).astype(jnp.float32) * dz_ref[0]
     count = cnt_ref[t]
-    not_done = jnp.max(t_out[0, :, 0]) >= z_lb
+    t_out[0, :, :] = jnp.full(t_out.shape[1:], _BIG, jnp.float32)
+    id_out[0, :, :] = jnp.full(id_out.shape[1:], -1, jnp.int32)
 
-    @pl.when((j < count) & not_done)
+    def issue(j, slot):
+        uid = tab_ref[j, t] >> 16
+        pltpu.make_async_copy(units_hbm.at[uid], ubuf.at[slot],
+                              sems.at[slot]).start()
+
+    def wait(slot):
+        pltpu.make_async_copy(units_hbm.at[0], ubuf.at[slot],
+                              sems.at[slot]).wait()
+
+    @pl.when(count > 0)
     def _():
+        issue(0, 0)
         ox = rays_ref[0, :, 0:1]                              # (P, 1)
         oy = rays_ref[0, :, 1:2]
         oz = rays_ref[0, :, 2:3]
         ixd = rays_ref[0, :, 3:4]
         iyd = rays_ref[0, :, 4:5]
         izd = rays_ref[0, :, 5:6]
-        bx = unit_ref[0, 0:1, :]                              # (1, 128)
-        by = unit_ref[0, 1:2, :]
-        bz = unit_ref[0, 2:3, :]
-        bxw = unit_ref[0, 3:4, :]
-        byw = unit_ref[0, 4:5, :]
-        bzw = unit_ref[0, 5:6, :]
-        # op-for-op the traversal's slab test (raytrace._raytrace_fixed)
-        tx0 = (bx - ox) * ixd                                 # (P, 128)
-        tx1 = (bxw - ox) * ixd
-        ty0 = (by - oy) * iyd
-        ty1 = (byw - oy) * iyd
-        tz0 = (bz - oz) * izd
-        tz1 = (bzw - oz) * izd
-        tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                       jnp.minimum(ty0, ty1)),
-                           jnp.minimum(tz0, tz1))
-        tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                       jnp.maximum(ty0, ty1)),
-                           jnp.maximum(tz0, tz1))
-        hit = tmax >= jnp.maximum(tmin, 0.0)
-        cand = jnp.where(hit, tmin, _BIG)
-        m = jnp.min(cand, axis=1, keepdims=True)              # (P, 1)
-        uid = jax.lax.bitcast_convert_type(unit_ref[0, 6:7, :], jnp.int32)
-        ids = jnp.broadcast_to(uid, cand.shape)
-        sel = jnp.min(jnp.where(cand == m, ids, _INT_BIG), axis=1,
-                      keepdims=True)
-        take = m < t_out[0, :, :]
-        id_out[0, :, :] = jnp.where(take, sel, id_out[0, :, :])
-        t_out[0, :, :] = jnp.where(take, m, t_out[0, :, :])
+
+        def body(state):
+            j, _ = state
+            slot = jax.lax.rem(j, 2)
+
+            @pl.when(j + 1 < count)
+            def _():                                          # prefetch
+                issue(j + 1, 1 - slot)
+
+            wait(slot)
+            bx = ubuf[slot, 0:1, :]                           # (1, 128)
+            by = ubuf[slot, 1:2, :]
+            bz = ubuf[slot, 2:3, :]
+            bxw = ubuf[slot, 3:4, :]
+            byw = ubuf[slot, 4:5, :]
+            bzw = ubuf[slot, 5:6, :]
+            # op-for-op the traversal's slab test (_raytrace_fixed)
+            tx0 = (bx - ox) * ixd                             # (P, 128)
+            tx1 = (bxw - ox) * ixd
+            ty0 = (by - oy) * iyd
+            ty1 = (byw - oy) * iyd
+            tz0 = (bz - oz) * izd
+            tz1 = (bzw - oz) * izd
+            tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                           jnp.minimum(ty0, ty1)),
+                               jnp.minimum(tz0, tz1))
+            tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                           jnp.maximum(ty0, ty1)),
+                               jnp.maximum(tz0, tz1))
+            hit = tmax >= jnp.maximum(tmin, 0.0)
+            cand = jnp.where(hit, tmin, _BIG)
+            m = jnp.min(cand, axis=1, keepdims=True)          # (P, 1)
+            uid = jax.lax.bitcast_convert_type(ubuf[slot, 6:7, :],
+                                               jnp.int32)
+            ids = jnp.broadcast_to(uid, cand.shape)
+            sel = jnp.min(jnp.where(cand == m, ids, _INT_BIG), axis=1,
+                          keepdims=True)
+            take = m < t_out[0, :, :]
+            id_out[0, :, :] = jnp.where(take, sel, id_out[0, :, :])
+            t_out[0, :, :] = jnp.where(take, m, t_out[0, :, :])
+
+            # stop once every pixel beats the NEXT unit's depth lower
+            # bound (front-to-back order; _BIG on any miss pixel keeps
+            # the loop going, which correctness requires)
+            nxt = j + 1
+            z_lb = (tab_ref[jnp.minimum(nxt, c_cap - 1), t]
+                    & 0xFFFF).astype(jnp.float32) * dz_ref[0]
+            done = (nxt >= count) | (jnp.max(t_out[0, :, :]) < z_lb)
+            return nxt, done
+
+        final_j, _ = jax.lax.while_loop(lambda s: ~s[1], body,
+                                        (jnp.int32(0), count == 0))
+
+        @pl.when(final_j < count)
+        def _():                                # drain dangling prefetch
+            wait(jax.lax.rem(final_j, 2))
 
 
 @functools.partial(
@@ -330,19 +410,21 @@ def _raster_frame(units, uaabb, origin, direction, cam_r, cam_t,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(t_n, c_cap),
+        grid=(t_n,),
         in_specs=[
-            pl.BlockSpec((1, p, 8), lambda t, j, tab, cnt, dz: (t, 0, 0),
+            pl.BlockSpec((1, p, 8), lambda t, tab, cnt, dz: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, _LANES),
-                         lambda t, j, tab, cnt, dz: (tab[j, t] >> 16, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # units stay in HBM
         ],
         out_specs=[
-            pl.BlockSpec((1, p, 1), lambda t, j, tab, cnt, dz: (t, 0, 0),
+            pl.BlockSpec((1, p, 1), lambda t, tab, cnt, dz: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, 1), lambda t, j, tab, cnt, dz: (t, 0, 0),
+            pl.BlockSpec((1, p, 1), lambda t, tab, cnt, dz: (t, 0, 0),
                          memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, _LANES), jnp.float32),   # double buffer
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     depth_t, hit_id = pl.pallas_call(

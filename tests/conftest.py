@@ -29,3 +29,37 @@ jax.config.update("jax_enable_x64", False)
 @pytest.fixture
 def key():
     return jax.random.PRNGKey(0)
+
+
+# ---------------------------------------------------------------------------
+# `-m fast` subset (VERDICT r4 #7): a <2-minute pre-commit gate covering
+# every subsystem. Files are auto-marked at collection so individual tests
+# don't need decorating; run with `pytest -m fast`.
+# ---------------------------------------------------------------------------
+
+_FAST_FILES = {
+    "test_quat.py",
+    "test_batch.py",
+    "test_mesh.py",
+    "test_pointcloud.py",
+    "test_containers.py",
+    "test_camera.py",
+    "test_dash3d.py",
+    "test_io.py",
+    "test_usd_crate_write.py",
+    "test_doctests.py",
+    "test_flexicubes_static.py",
+    "test_simplicits_losses_parity.py",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "fast: quick cross-subsystem subset (pre-commit gate)")
+
+
+def pytest_collection_modifyitems(config, items):
+    import os as _os
+    for item in items:
+        if _os.path.basename(str(item.fspath)) in _FAST_FILES:
+            item.add_marker(pytest.mark.fast)
