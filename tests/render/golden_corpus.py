@@ -160,6 +160,84 @@ def render_sg_sphere(res=128):
     return np.clip(np.asarray(out["diffuse"][0]), 0.0, 1.0)
 
 
+def render_textured_easy(res=128):
+    """Textured + PBR-material easy_render (texture sampling path; ref
+    tests/python/kaolin/render/easy_render/test_mesh.py:66-121 exercises
+    multiple materials/cameras per mesh)."""
+    import jax.numpy as jnp
+    from kaolin_tpu.render import easy_render
+    from kaolin_tpu.render.materials import PBRMaterial
+    from kaolin_tpu.rep import SurfaceMesh
+
+    verts, faces = _sphere_mesh()
+    nv = verts.shape[0]
+    th = np.arctan2(np.asarray(verts)[:, 2], np.asarray(verts)[:, 0])
+    ph = np.arccos(np.clip(np.asarray(verts)[:, 1], -1, 1))
+    uvs = jnp.asarray(np.stack([(th / (2 * np.pi) + 0.5), ph / np.pi], -1)
+                      .astype(np.float32))
+    # deterministic checkerboard texture
+    ij = np.indices((64, 64)).sum(axis=0)
+    checker = np.where((ij // 8) % 2 == 0, 0.85, 0.2).astype(np.float32)
+    tex = jnp.asarray(np.stack([checker, 0.5 * checker,
+                                1.0 - checker], -1))
+    mat = PBRMaterial(diffuse_texture=tex, material_name="checker")
+    mesh = SurfaceMesh(vertices=verts * 0.6, faces=faces, uvs=uvs,
+                       face_uvs_idx=faces, material_assignments=jnp.zeros(
+                           (faces.shape[0],), jnp.int16),
+                       materials=[mat])
+    out = easy_render.render_mesh(_camera(res), mesh)
+    return np.clip(np.asarray(out["render"][0]), 0.0, 1.0)
+
+
+def render_easy_second_camera(res=128):
+    """Same scene through a second camera pose + narrower fov (camera
+    variation axis of the golden grid)."""
+    import jax.numpy as jnp
+    from kaolin_tpu.render import easy_render
+    from kaolin_tpu.render.camera import Camera
+    from kaolin_tpu.rep import SurfaceMesh
+
+    verts, faces = _sphere_mesh()
+    mesh = SurfaceMesh(vertices=verts * 0.6, faces=faces)
+    cam = Camera.from_args(eye=jnp.asarray([-1.2, 1.8, 0.7]),
+                           at=jnp.asarray([0.0, 0.1, 0.0]),
+                           up=jnp.asarray([0., 1., 0.]),
+                           fov=0.5, width=res, height=res)
+    out = easy_render.render_mesh(cam, mesh)
+    return np.clip(np.asarray(out["render"][0]), 0.0, 1.0)
+
+
+def render_sh9_diffuse(res=128):
+    """SH9 lighting path (render/lighting/sh.py) on interpolated normals."""
+    import jax.numpy as jnp
+    from kaolin_tpu.ops.mesh import (compute_vertex_normals, face_normals,
+                                     index_vertices_by_faces)
+    from kaolin_tpu.render.lighting import sh9_diffuse
+    from kaolin_tpu.render.mesh import rasterize
+
+    verts, faces = _sphere_mesh()
+    cam = _camera(res)
+    fn_w = face_normals(index_vertices_by_faces(verts[None], faces),
+                        unit=True)
+    fn_pc = jnp.broadcast_to(fn_w[:, :, None, :],
+                             fn_w.shape[:2] + (3, 3))   # per-corner
+    vn = compute_vertex_normals(faces, fn_pc,
+                                num_vertices=verts.shape[0])[0]
+    vc = cam.extrinsics.transform(verts * 0.6)[0]
+    ndc = cam.intrinsics.transform(vc)[0]
+    fv_img = index_vertices_by_faces(ndc[None, :, :2], faces)
+    fv_z = index_vertices_by_faces(vc[None, :, 2:3], faces)[..., 0]
+    fn = index_vertices_by_faces(vn[None], faces)
+    img, _ = rasterize(res, res, fv_z, fv_img, fn)
+    normals = img.reshape(-1, 3)
+    normals = normals / jnp.clip(
+        jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-6, None)
+    albedo = jnp.asarray([1.0, 0.9, 0.7])[None]
+    shaded = sh9_diffuse(jnp.asarray([0.5, 0.7, 0.5]), normals,
+                         albedo).reshape(res, res, 3)
+    return np.clip(np.asarray(shaded), 0.0, 1.0)
+
+
 RENDERS = {
     "spc_depth": render_spc_depth,
     "deftet_uv": render_deftet_uv,
@@ -167,6 +245,9 @@ RENDERS = {
     "dibr_soft_mask": render_soft_mask,
     "ortho_easy_render": render_ortho_easy,
     "sg_diffuse": render_sg_sphere,
+    "textured_easy_render": render_textured_easy,
+    "easy_render_cam2": render_easy_second_camera,
+    "sh9_diffuse": render_sh9_diffuse,
 }
 
 
