@@ -155,9 +155,24 @@ def dense_extract(scalar_field, resolution, beta=None, alpha=None,
 
     table_t, dirs = _dense_tables()
 
+    # Hoist the four (y, z)-offset views ONCE. A z-offset slice of the
+    # (R+1)^3 grid is misaligned on the 128-lane minor axis and a y-offset
+    # on the sublane axis — each such slice costs a full shuffle/relayout
+    # pass on TPU, and corner() is consumed ~56 times across the case,
+    # edge-crossing, and quad stages (measured 1.6 ms for the case stage
+    # alone at res 64, ~30x its arithmetic). With the bases materialized
+    # (optimization_barrier stops XLA re-fusing the shuffle into every
+    # consumer), the remaining per-corner x-slices are leading-axis
+    # offsets — free.
+    bases = {}
+    for yb in (0, 1):
+        for zb in (0, 1):
+            bases[(yb, zb)] = sdf[:, yb:yb + ry, zb:zb + rz]
+    bases = jax.lax.optimization_barrier(bases)
+
     def corner(k):
         x, y, z = _CORNER_OFFS[k]
-        return sdf[x:x + rx, y:y + ry, z:z + rz]
+        return bases[(y, z)][x:x + rx]
 
     # ---- case ids from corner signs (8 slices, f32 accumulate) ----
     case_f = jnp.zeros((rx, ry, rz), dtype)

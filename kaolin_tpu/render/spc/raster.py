@@ -9,28 +9,31 @@ bandwidth (the round-3 frontier/per-ray traversals measured 0.5-6 fps at
 not need the traversal at all, so this module re-derives it as a
 *rasterization* -- the shape TPUs are built for:
 
-1.  **Unit packing** (once per octree, host-side): the level-``L`` leaves --
-    already Morton-ordered by the SPC invariant -- are chunked into *units*
-    of 128 consecutive leaves.  Morton order is spatially coherent, so each
-    unit's tight world AABB is small.  A unit is one ``(8, 128)`` f32 VMEM
-    tile holding per-leaf box bounds: lanes = leaves, sublanes = coordinate
-    rows.  No gathers are ever needed to reach a leaf again.
-2.  **Binning** (per frame, jitted XLA): every unit AABB is projected through
-    the camera (8 corners, conservative pixel bbox -> screen-tile span) and
-    expanded into (tile, depth-quantized key) slot pairs; ONE small sort
-    (~U*16 keys, ~1 ms/M keys on v5-lite) plus a segment-rank scatter builds
-    the per-tile front-to-back unit table.  Capacity trips are surfaced, not
-    dropped: callers grow ``s_max``/``c_cap`` and re-jit (the same
-    grow-and-persist pattern as ``bench.py``'s traversal capacities).
-3.  **Pallas kernel** (per frame): grid = (tiles, c_cap); step (t, j) DMAs
-    tile t's j-th unit -- the block index comes from the scalar-prefetched
-    unit table, so Mosaic double-buffers the streams automatically -- and
-    slab-tests its 128 leaves against the tile's pixels on the VPU,
-    maintaining per-pixel min-t and winner id in the revisited output block.
-    Units arrive front-to-back, so once every pixel in the tile has a hit
-    closer than the next unit's conservative z lower bound the remaining
-    units are skipped (``@pl.when``) -- for opaque surfaces interior tiles
-    stop after the first few units.
+1.  **Unit packing** (once per octree, host-side): the level-``L`` leaves
+    are reordered by recursive median cut and chunked into *units* of 128
+    leaves, so every unit's world AABB is tight by construction (raw
+    Morton runs occasionally straddle octant boundaries and span huge
+    boxes).  A unit is one ``(8, 128)`` f32 tile holding per-leaf box
+    bounds: lanes = leaves, sublanes = coordinate rows.  No gathers are
+    ever needed to reach a leaf again.  Occupied level-3 cells are kept
+    alongside for per-ray scene-exit bounds.
+2.  **Binning** (per frame, jitted XLA): every unit AABB is projected
+    through the camera (8 corners, conservative pixel bbox -> screen-tile
+    span) and expanded into (tile, depth-quantized key) slot pairs; ONE
+    small sort plus a segment-rank scatter builds the per-tile
+    front-to-back unit table (SMEM-resident, transposed (c_cap, tiles) so
+    the lane-padded minor is the big axis).  Capacity trips are surfaced,
+    not dropped: callers grow ``s_max``/``c_cap`` and re-jit.
+3.  **Pallas kernel** (per frame): one grid step per TILE walks the
+    tile's unit list with a ``_RING``-deep manually-pipelined DMA (units
+    stay in HBM; a 4 KB unit copy's latency exceeds the slab-test body,
+    so several copies stay in flight), slab-testing 128 leaves against
+    the tile's pixels per iteration on the VPU.  Units arrive
+    front-to-back; the loop stops once every pixel's effective bound --
+    ``min(best hit, scene-exit bound)`` from the level-3 occupancy -- is
+    closer than the next unit's conservative z lower bound, so interior
+    tiles stop after the surface crossing and background pixels do not
+    force full walks.  Empty tiles cost nothing.
 
 The slab arithmetic is kept OP-FOR-OP identical to
 ``raytrace._raytrace_fixed``'s (same ``(b - o) * inv_d`` forms, same
@@ -61,6 +64,7 @@ __all__ = ["RasterSPC", "build_raster_spc", "raster_first_hit",
 _LANES = 128
 _BIG = 3.0e38
 _INT_BIG = 2 ** 30
+_RING = 4      # DMA prefetch depth in the tile kernel
 
 
 class RasterSPC(NamedTuple):
@@ -82,6 +86,7 @@ class RasterSPC(NamedTuple):
     units: jax.Array
     uids: jax.Array
     uaabb: jax.Array
+    l3boxes: jax.Array
     level: int
 
 
@@ -160,8 +165,24 @@ def build_raster_spc(point_hierarchy, pyramid, level):
     uaabb[dead_u, 0:3] = 2.0e38
     uaabb[dead_u, 3:6] = 2.0e38
 
+    # occupied level-3 cells (<=512): per-ray scene-EXIT bounds. Every leaf
+    # lives inside an occupied level-3 cell, so a ray's last exit from the
+    # occupied set upper-bounds any hit depth — pixels whose rays miss the
+    # occupied set (or have passed it) stop gating the tile's front-to-back
+    # early exit, which otherwise never fires on tiles with background
+    # pixels (t = +inf there).
+    l3 = np.unique(leaves >> (level - 3), axis=0) if num else \
+        np.zeros((0, 3), np.int64)
+    w3 = 2.0 / 8.0
+    m2 = max(8, int(np.ceil(max(len(l3), 1) / 8.0)) * 8)
+    boxes = np.full((m2, 8), 2.0e38, np.float32)
+    boxes[:len(l3), 0:3] = l3 * w3 - 1.0
+    boxes[:len(l3), 3:6] = l3 * w3 - 1.0 + w3
+    boxes[len(l3):, 3:6] = -2.0e38        # min > max: never intersected
+
     return RasterSPC(units=jnp.asarray(units), uids=jnp.asarray(uids),
-                     uaabb=jnp.asarray(uaabb), level=level)
+                     uaabb=jnp.asarray(uaabb),
+                     l3boxes=jnp.asarray(boxes), level=level)
 
 
 # ---------------------------------------------------------------------------
@@ -288,7 +309,7 @@ def _bin_units(uaabb, cam_r, cam_t, tan_h, tan_v, x0, y0, *, width, height,
 # Pallas per-tile kernel
 # ---------------------------------------------------------------------------
 
-def _raster_kernel(tab_ref, cnt_ref, dz_ref, rays_ref, units_hbm,
+def _raster_kernel(tab_ref, cnt_ref, dz_ref, tb_ref, rays_ref, units_hbm,
                    t_out, id_out, ubuf, sems, *, c_cap):
     """One grid step per TILE: walk the tile's front-to-back unit list with
     a double-buffered manual DMA pipeline (units stay in HBM; each
@@ -319,21 +340,28 @@ def _raster_kernel(tab_ref, cnt_ref, dz_ref, rays_ref, units_hbm,
 
     @pl.when(count > 0)
     def _():
-        issue(0, 0)
+        # ring prefetch, depth _RING: a 4 KB unit DMA's latency exceeds the
+        # ~0.85 us slab-test body, so a 2-slot pipeline is DMA-latency
+        # bound — keep _RING copies in flight instead
+        for k in range(_RING - 1):
+            @pl.when(k < count)
+            def _(k=k):
+                issue(k, k)
         ox = rays_ref[0, :, 0:1]                              # (P, 1)
         oy = rays_ref[0, :, 1:2]
         oz = rays_ref[0, :, 2:3]
         ixd = rays_ref[0, :, 3:4]
         iyd = rays_ref[0, :, 4:5]
         izd = rays_ref[0, :, 5:6]
+        tile_bound = tb_ref[t]
 
         def body(state):
             j, _ = state
-            slot = jax.lax.rem(j, 2)
+            slot = jax.lax.rem(j, _RING)
 
-            @pl.when(j + 1 < count)
+            @pl.when(j + _RING - 1 < count)
             def _():                                          # prefetch
-                issue(j + 1, 1 - slot)
+                issue(j + _RING - 1, jax.lax.rem(j + _RING - 1, _RING))
 
             wait(slot)
             bx = ubuf[slot, 0:1, :]                           # (1, 128)
@@ -368,27 +396,32 @@ def _raster_kernel(tab_ref, cnt_ref, dz_ref, rays_ref, units_hbm,
             t_out[0, :, :] = jnp.where(take, m, t_out[0, :, :])
 
             # stop once every pixel beats the NEXT unit's depth lower
-            # bound (front-to-back order; _BIG on any miss pixel keeps
-            # the loop going, which correctness requires)
+            # bound (front-to-back order). A pixel's effective bound is
+            # min(best hit, scene-exit bound): rays that miss (or have
+            # exhausted) the occupied set stop gating the exit — without
+            # this, any background pixel (+inf) forces the full unit walk
             nxt = j + 1
             z_lb = (tab_ref[jnp.minimum(nxt, c_cap - 1), t]
                     & 0xFFFF).astype(jnp.float32) * dz_ref[0]
-            done = (nxt >= count) | (jnp.max(t_out[0, :, :]) < z_lb)
+            worst = jnp.minimum(jnp.max(t_out[0, :, :]), tile_bound)
+            done = (nxt >= count) | (worst < z_lb)
             return nxt, done
 
         final_j, _ = jax.lax.while_loop(lambda s: ~s[1], body,
                                         (jnp.int32(0), count == 0))
 
-        @pl.when(final_j < count)
-        def _():                                # drain dangling prefetch
-            wait(jax.lax.rem(final_j, 2))
+        # drain dangling prefetches (up to _RING - 1 issued past final_j)
+        for k in range(_RING - 1):
+            @pl.when(final_j + k < count)
+            def _(k=k):
+                wait(jax.lax.rem(final_j + k, _RING))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile_px", "s_max", "c_cap",
                      "interpret"))
-def _raster_frame(units, uaabb, origin, direction, cam_r, cam_t,
+def _raster_frame(units, uaabb, l3boxes, origin, direction, cam_r, cam_t,
                   tan_h, tan_v, x0, y0, *, width, height, tile_px, s_max,
                   c_cap, interpret=False):
     tx_n = width // tile_px
@@ -402,6 +435,47 @@ def _raster_frame(units, uaabb, origin, direction, cam_r, cam_t,
 
     inv_dir = 1.0 / jnp.where(jnp.abs(direction) > 1e-12, direction,
                               jnp.where(direction >= 0, 1e-12, -1e-12))
+
+    # per-TILE scene-exit bound from the occupied level-3 cells (see
+    # build_raster_spc): no ray can hit past the deepest occupied box
+    # whose projection overlaps the tile, so the kernel's early exit uses
+    # worst = min(max_pixels(t), tile_bound) — identical semantics to a
+    # per-pixel bound (min with a constant commutes with max) at ~zero
+    # cost (a (tiles, boxes) interval test; the per-RAY formulation this
+    # replaces materialized (rays, boxes, 3) arrays — 400 MB/frame).
+    bl = l3boxes[:, 0:3]
+    bh = l3boxes[:, 3:6]
+    sel8 = jnp.asarray(
+        [[x, y, zc] for x in (0, 1) for y in (0, 1) for zc in (0, 1)],
+        jnp.float32)
+    bcorn = bl[:, None, :] * (1.0 - sel8) + bh[:, None, :] * sel8  # (M,8,3)
+    bcam = jnp.einsum("ij,mcj->mci", cam_r, bcorn) + cam_t
+    bdepth = -bcam[..., 2]                                         # (M, 8)
+    bfront = bdepth > 1e-8
+    bdep_max = jnp.max(jnp.where(bfront, bdepth, -1.0), axis=1)    # (M,)
+    safe_bd = jnp.where(bfront, bdepth, 1.0)
+    bpx = ((bcam[..., 0] / safe_bd) / tan_h + 1.0) * (width * 0.5) + x0
+    bpy = (-(bcam[..., 1] / safe_bd) / tan_v + 1.0) * (height * 0.5) - y0
+    bstrad = jnp.any(bfront, axis=1) & ~jnp.all(bfront, axis=1)
+    bx_lo = jnp.where(bstrad, 0.0,
+                      jnp.min(jnp.where(bfront, bpx, _BIG), axis=1))
+    bx_hi = jnp.where(bstrad, float(width),
+                      jnp.max(jnp.where(bfront, bpx, -_BIG), axis=1))
+    by_lo = jnp.where(bstrad, 0.0,
+                      jnp.min(jnp.where(bfront, bpy, _BIG), axis=1))
+    by_hi = jnp.where(bstrad, float(height),
+                      jnp.max(jnp.where(bfront, bpy, -_BIG), axis=1))
+    blive = jnp.any(bfront, axis=1) & (l3boxes[:, 0] < 1.0e38)
+    tix = jnp.arange(tx_n, dtype=jnp.float32) * tile_px            # (Tx,)
+    tiy = jnp.arange(ty_n, dtype=jnp.float32) * tile_px
+    ov_x = (bx_hi[None, :] >= tix[:, None] - 0.51) \
+        & (bx_lo[None, :] <= tix[:, None] + tile_px + 0.51)        # (Tx, M)
+    ov_y = (by_hi[None, :] >= tiy[:, None] - 0.51) \
+        & (by_lo[None, :] <= tiy[:, None] + tile_px + 0.51)        # (Ty, M)
+    ov = (ov_y[:, None, :] & ov_x[None, :, :]) & blive[None, None]
+    tile_bound = jnp.max(jnp.where(ov, bdep_max[None, None], -1.0),
+                         axis=2).reshape(t_n)                      # (T,)
+
     rays = jnp.concatenate(
         [origin, inv_dir, jnp.zeros((origin.shape[0], 2), origin.dtype)],
         axis=1)                                               # (R, 8)
@@ -409,22 +483,22 @@ def _raster_frame(units, uaabb, origin, direction, cam_r, cam_t,
         .transpose(0, 2, 1, 3, 4).reshape(t_n, p, 8)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(t_n,),
         in_specs=[
-            pl.BlockSpec((1, p, 8), lambda t, tab, cnt, dz: (t, 0, 0),
+            pl.BlockSpec((1, p, 8), lambda t, tab, cnt, dz, tb: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),   # units stay in HBM
         ],
         out_specs=[
-            pl.BlockSpec((1, p, 1), lambda t, tab, cnt, dz: (t, 0, 0),
+            pl.BlockSpec((1, p, 1), lambda t, tab, cnt, dz, tb: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, 1), lambda t, tab, cnt, dz: (t, 0, 0),
+            pl.BlockSpec((1, p, 1), lambda t, tab, cnt, dz, tb: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 8, _LANES), jnp.float32),   # double buffer
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((_RING, 8, _LANES), jnp.float32),   # prefetch ring
+            pltpu.SemaphoreType.DMA((_RING,)),
         ],
     )
     depth_t, hit_id = pl.pallas_call(
@@ -433,7 +507,7 @@ def _raster_frame(units, uaabb, origin, direction, cam_r, cam_t,
         out_shape=[jax.ShapeDtypeStruct((t_n, p, 1), jnp.float32),
                    jax.ShapeDtypeStruct((t_n, p, 1), jnp.int32)],
         interpret=interpret,
-    )(tab, counts, dz.reshape(1), rays, units)
+    )(tab, counts, dz.reshape(1), tile_bound, rays, units)
 
     def untile(img):
         return img[:, :, 0].reshape(ty_n, tx_n, tile_px, tile_px) \
@@ -489,9 +563,16 @@ def raster_first_hit(rspc, camera, *, tile_px=16, s_max=16, c_cap=None,
     if c_cap is None:
         c_cap = 32
     assert camera.lens_type == "pinhole", "raster_first_hit needs a pinhole"
+    # SMEM budget guard: the scalar-prefetched unit table (c_cap, tiles)
+    # i32 must fit the ~1 MB v5e SMEM alongside counts/bounds — grow the
+    # tile size (fewer, larger tiles) until it does, instead of failing
+    # the Mosaic compile (the round-4/5 8px-tile failure mode)
+    while (c_cap * (int(camera.width) // tile_px)
+           * (int(camera.height) // tile_px) * 4 > 600_000):
+        tile_px *= 2
     params = _prep_camera(camera)
     return _raster_frame(
-        rspc.units, rspc.uaabb, *params,
+        rspc.units, rspc.uaabb, rspc.l3boxes, *params,
         width=int(camera.width), height=int(camera.height),
         tile_px=tile_px, s_max=s_max, c_cap=c_cap, interpret=interpret)
 
@@ -522,7 +603,8 @@ def raster_first_hit_sequence(rspc, cameras, *, tile_px=16, s_max=16,
     prepped = [_prep_camera(c) for c in cameras]
     stacked = tuple(jnp.stack([p[i] for p in prepped])
                     for i in range(len(prepped[0])))
-    return _raster_sequence(rspc.units, rspc.uaabb, stacked, width=width,
+    return _raster_sequence(rspc.units, rspc.uaabb, rspc.l3boxes,
+                            stacked, width=width,
                             height=height, tile_px=tile_px, s_max=s_max,
                             c_cap=c_cap, interpret=interpret)
 
@@ -531,11 +613,12 @@ def raster_first_hit_sequence(rspc, cameras, *, tile_px=16, s_max=16,
     jax.jit,
     static_argnames=("width", "height", "tile_px", "s_max", "c_cap",
                      "interpret"))
-def _raster_sequence(units, uaabb, stacked, *, width, height, tile_px,
+def _raster_sequence(units, uaabb, l3boxes, stacked, *, width, height,
+                     tile_px,
                      s_max, c_cap, interpret):
     def body(carry, frame):
         t, nidx, valid, ov = _raster_frame(
-            units, uaabb, *frame, width=width, height=height,
+            units, uaabb, l3boxes, *frame, width=width, height=height,
             tile_px=tile_px, s_max=s_max, c_cap=c_cap, interpret=interpret)
         return carry, (t, nidx, valid, ov)
 
