@@ -549,8 +549,12 @@ def bench_collision_10k(num_objects=6, qp_per_object=1700, num_handles=6,
             "auto default must pick grid at N>=10k"
 
     def run():
-        for _ in range(num_steps):
-            scene.run_sim_step()
+        # the scan rollout is the framework's throughput path (ONE
+        # dispatch for the whole window, semantically identical to
+        # num_steps run_sim_step calls — simulation.py:897); per-step
+        # dispatch through the axon tunnel costs ~5 ms/step, which at
+        # the target 100 steps/s would be half the budget
+        scene.run_sim_steps(num_steps)
         return num_steps
 
     # capacities may auto-resize (re-jit) while the stack settles; re-measure
@@ -569,10 +573,12 @@ def bench_collision_10k(num_objects=6, qp_per_object=1700, num_handles=6,
     diag = scene.collision_diagnostics()
     overflow = bool(diag.get("cell_overflow", False)) \
         or bool(diag.get("slot_overflow", False)) \
+        or bool(diag.get("pp_overflow", False)) \
         or bool(diag["contacts_overflow"])
     rate_meta = {"num_particles": int(scene.total_qp),
                  "num_pairs": int(diag["num_pairs"]),
                  "cell_overflow": bool(diag.get("cell_overflow", False)),
+                 "pp_overflow": bool(diag.get("pp_overflow", False)),
                  "contacts_overflow": bool(diag["contacts_overflow"]),
                  "auto_resizes": int(scene.collision_resizes)}
     if overflow:

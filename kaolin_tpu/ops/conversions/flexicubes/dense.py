@@ -128,7 +128,7 @@ def _lookup_t(case_flat, table_t, rows, chunk=1 << 19):
 
 def dense_extract(scalar_field, resolution, beta=None, alpha=None,
                   gamma_f=None, weight_scale=0.99, training=False,
-                  grid_origin=-0.5, grid_extent=1.0):
+                  grid_origin=-0.5, grid_extent=1.0, _stage=None):
     """Gather-free FlexiCubes extraction on the dense cube grid.
 
     Args:
@@ -184,6 +184,11 @@ def dense_extract(scalar_field, resolution, beta=None, alpha=None,
     case = case_f.astype(jnp.int32)
     surf = (osum_f > 0) & (osum_f < 8)
     surf_f = surf.astype(dtype)
+    # _stage: profiling hook — return a scalar that depends only on the
+    # pipeline prefix up to the named stage; XLA dead-code-eliminates the
+    # rest, so stage costs fall out of cumulative-prefix timings.
+    if _stage == "case":
+        return case_f.sum() + surf_f.sum()
 
     # ---- C16/C19 ambiguity resolution (6 shifted flag grids) ----
     chk = _lookup_t(case.reshape(-1), table_t[48:51], 3)     # (3, C)
@@ -203,6 +208,8 @@ def dense_extract(scalar_field, resolution, beta=None, alpha=None,
     # ---- group-membership lookup for the (possibly inverted) cases ----
     m = _lookup_t(case.reshape(-1), table_t[:48], 48)        # (48, C)
     m = m.reshape(4, 12, rx, ry, rz) * surf_f
+    if _stage == "m":
+        return m.sum()
 
     # ---- learnable weights, feature-first ----
     if alpha is not None:
@@ -251,6 +258,8 @@ def dense_extract(scalar_field, resolution, beta=None, alpha=None,
                  for a in range(3)]))
     zc = jnp.stack(zc_l)                                  # (12, 3, R,R,R)
     ue = jnp.stack(ue_l) if alpha_c is not None else zc
+    if _stage == "zc":
+        return zc.sum() + ue.sum()
 
     # ---- dual vertices: masked weighted means over each group ----
     mb = m * beta_c[None]                                 # (4, 12, R,R,R)
@@ -260,6 +269,8 @@ def dense_extract(scalar_field, resolution, beta=None, alpha=None,
     vd_valid = mb_sum > 0                                 # (4, R,R,R)
     # invalid slots -> 1.0 (norm(0) NaN-grad guard, see module docstring)
     vd = jnp.where(vd_valid[:, None], vd, 1.0)
+    if _stage == "vd":
+        return vd.sum()
 
     # ---- L_dev: per-entry deviation from the group's mean distance ----
     diff = zc[None] - vd[:, None]                         # (4, 12, 3, R..)
@@ -269,6 +280,8 @@ def dense_extract(scalar_field, resolution, beta=None, alpha=None,
     mean_l2 = jnp.sum(dist, axis=1, keepdims=True) \
         / jnp.clip(cnt, 1.0, None)
     l_dev = jnp.abs(dist - mean_l2) * m                   # (4, 12, R..)
+    if _stage == "ldev":
+        return l_dev.sum()
 
     # ---- quads per edge axis (slices; static neighbor patterns) ----
     lin = ((jnp.arange(rx, dtype=jnp.int32)[:, None, None] * ry

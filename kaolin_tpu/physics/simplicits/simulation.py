@@ -973,6 +973,10 @@ class SimplicitsScene:
             col.max_contacts = int(min(
                 max(col.max_contacts * 2, 1024),
                 self.total_qp * (self.total_qp - 1) // 2))
+        if flags & type(col).FLAG_PP_OVERFLOW:
+            col.point_contact_capacity = int(min(
+                max(col.point_contact_capacity * 2, 8),
+                14 * col.cell_capacity))
         if flags & type(col).FLAG_WINDOW_OVERFLOW:
             col.sweep_window = int(min(col.sweep_window * 2, self.total_qp))
         self._col_overflow = jnp.int32(0)

@@ -309,8 +309,8 @@ def _bin_units(uaabb, cam_r, cam_t, tan_h, tan_v, x0, y0, *, width, height,
 # Pallas per-tile kernel
 # ---------------------------------------------------------------------------
 
-def _raster_kernel(tab_ref, cnt_ref, dz_ref, tb_ref, rays_ref, units_hbm,
-                   t_out, id_out, ubuf, sems, *, c_cap):
+def _raster_kernel(tab_ref, cnt_ref, dz_ref, act_ref, boxes_ref, rays_ref,
+                   units_hbm, t_out, id_out, ubuf, sems, *, c_cap):
     """One grid step per TILE: walk the tile's front-to-back unit list with
     a double-buffered manual DMA pipeline (units stay in HBM; each
     iteration waits the current unit's copy, prefetches the next, runs the
@@ -324,7 +324,7 @@ def _raster_kernel(tab_ref, cnt_ref, dz_ref, tb_ref, rays_ref, units_hbm,
     nothing: empty tiles do no DMA at all, and the while_loop runs only as
     many iterations as the tile needs.
     """
-    t = pl.program_id(0)
+    t = act_ref[pl.program_id(0)]
     count = cnt_ref[t]
     t_out[0, :, :] = jnp.full(t_out.shape[1:], _BIG, jnp.float32)
     id_out[0, :, :] = jnp.full(id_out.shape[1:], -1, jnp.int32)
@@ -353,7 +353,38 @@ def _raster_kernel(tab_ref, cnt_ref, dz_ref, tb_ref, rays_ref, units_hbm,
         ixd = rays_ref[0, :, 3:4]
         iyd = rays_ref[0, :, 4:5]
         izd = rays_ref[0, :, 5:6]
-        tile_bound = tb_ref[t]
+
+        # per-RAY scene-exit bound: last exit from the occupied level-3
+        # set upper-bounds any hit depth (every leaf lives inside an
+        # occupied cell), and rays that MISS the set get -1 so background
+        # pixels never gate the early exit.  One (P, M) slab test in the
+        # prologue -- a few unit-iterations' worth of VPU work, paid once
+        # per tile.  (A per-TILE bound cannot work: the deepest box
+        # overlapping a tile always bounds every unit in it from above,
+        # so it never prunes; and computing per-ray bounds host-side
+        # materializes (rays, boxes) HBM arrays -- hundreds of MB/frame.)
+        blo_x = boxes_ref[0:1, :]                             # (1, M)
+        blo_y = boxes_ref[1:2, :]
+        blo_z = boxes_ref[2:3, :]
+        bhi_x = boxes_ref[3:4, :]
+        bhi_y = boxes_ref[4:5, :]
+        bhi_z = boxes_ref[5:6, :]
+        live_m = blo_x < 1.0e38                               # (1, M)
+        qx0 = (blo_x - ox) * ixd                              # (P, M)
+        qx1 = (bhi_x - ox) * ixd
+        qy0 = (blo_y - oy) * iyd
+        qy1 = (bhi_y - oy) * iyd
+        qz0 = (blo_z - oz) * izd
+        qz1 = (bhi_z - oz) * izd
+        q_in = jnp.maximum(jnp.maximum(jnp.minimum(qx0, qx1),
+                                       jnp.minimum(qy0, qy1)),
+                           jnp.minimum(qz0, qz1))
+        q_out = jnp.minimum(jnp.minimum(jnp.maximum(qx0, qx1),
+                                        jnp.maximum(qy0, qy1)),
+                            jnp.maximum(qz0, qz1))
+        q_hit = (q_out >= jnp.maximum(q_in, 0.0)) & live_m
+        bound = jnp.max(jnp.where(q_hit, q_out, -1.0), axis=1,
+                        keepdims=True)                        # (P, 1)
 
         def body(state):
             j, _ = state
@@ -403,7 +434,7 @@ def _raster_kernel(tab_ref, cnt_ref, dz_ref, tb_ref, rays_ref, units_hbm,
             nxt = j + 1
             z_lb = (tab_ref[jnp.minimum(nxt, c_cap - 1), t]
                     & 0xFFFF).astype(jnp.float32) * dz_ref[0]
-            worst = jnp.minimum(jnp.max(t_out[0, :, :]), tile_bound)
+            worst = jnp.max(jnp.minimum(t_out[0, :, :], bound))
             done = (nxt >= count) | (worst < z_lb)
             return nxt, done
 
@@ -415,6 +446,109 @@ def _raster_kernel(tab_ref, cnt_ref, dz_ref, tb_ref, rays_ref, units_hbm,
             @pl.when(final_j + k < count)
             def _(k=k):
                 wait(jax.lax.rem(final_j + k, _RING))
+
+
+def _raster_kernel_vmem(tab_ref, cnt_ref, dz_ref, act_ref, boxes_ref,
+                        rays_ref, units_ref, t_out, id_out, *, c_cap, batch):
+    """Active-tile variant with the whole unit table VMEM-resident.
+
+    One grid step per ACTIVE tile (the grid size is the traced active-tile
+    count — empty tiles cost zero, not one predicated step), units are read
+    straight out of VMEM by dynamic index (no DMA ring, no semaphores), and
+    the front-to-back walk is unrolled ``batch`` units per ``while_loop``
+    iteration so the loop's fixed cost (scalar table reads, predicate) is
+    amortized over 4x the slab work.  Slots past ``count`` hold table value
+    0 -> unit 0: re-testing an already-tested or unbinned unit is provably
+    harmless (the hit set per ray is identical -- binning is conservative,
+    so any leaf that hits a ray of this tile is in a unit binned to it),
+    which is what makes pad-free batching correct.
+    """
+    i = pl.program_id(0)
+    t = act_ref[i]
+    count = cnt_ref[t]
+    t_out[0, :, :] = jnp.full(t_out.shape[1:], _BIG, jnp.float32)
+    id_out[0, :, :] = jnp.full(id_out.shape[1:], -1, jnp.int32)
+
+    ox = rays_ref[0, :, 0:1]                                  # (P, 1)
+    oy = rays_ref[0, :, 1:2]
+    oz = rays_ref[0, :, 2:3]
+    ixd = rays_ref[0, :, 3:4]
+    iyd = rays_ref[0, :, 4:5]
+    izd = rays_ref[0, :, 5:6]
+
+    # per-ray scene-exit bound prologue (see _raster_kernel)
+    blo_x = boxes_ref[0:1, :]
+    blo_y = boxes_ref[1:2, :]
+    blo_z = boxes_ref[2:3, :]
+    bhi_x = boxes_ref[3:4, :]
+    bhi_y = boxes_ref[4:5, :]
+    bhi_z = boxes_ref[5:6, :]
+    live_m = blo_x < 1.0e38
+    qx0 = (blo_x - ox) * ixd
+    qx1 = (bhi_x - ox) * ixd
+    qy0 = (blo_y - oy) * iyd
+    qy1 = (bhi_y - oy) * iyd
+    qz0 = (blo_z - oz) * izd
+    qz1 = (bhi_z - oz) * izd
+    q_in = jnp.maximum(jnp.maximum(jnp.minimum(qx0, qx1),
+                                   jnp.minimum(qy0, qy1)),
+                       jnp.minimum(qz0, qz1))
+    q_out = jnp.minimum(jnp.minimum(jnp.maximum(qx0, qx1),
+                                    jnp.maximum(qy0, qy1)),
+                        jnp.maximum(qz0, qz1))
+    q_hit = (q_out >= jnp.maximum(q_in, 0.0)) & live_m
+    bound = jnp.max(jnp.where(q_hit, q_out, -1.0), axis=1,
+                    keepdims=True)                            # (P, 1)
+
+    def body(state):
+        j, _ = state
+        for b in range(batch):
+            uid = tab_ref[j * batch + b, t] >> 16
+            u = units_ref[uid]                                # (8, 128)
+            bx = u[0:1, :]
+            by = u[1:2, :]
+            bz = u[2:3, :]
+            bxw = u[3:4, :]
+            byw = u[4:5, :]
+            bzw = u[5:6, :]
+            tx0 = (bx - ox) * ixd                             # (P, 128)
+            tx1 = (bxw - ox) * ixd
+            ty0 = (by - oy) * iyd
+            ty1 = (byw - oy) * iyd
+            tz0 = (bz - oz) * izd
+            tz1 = (bzw - oz) * izd
+            tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                           jnp.minimum(ty0, ty1)),
+                               jnp.minimum(tz0, tz1))
+            tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                           jnp.maximum(ty0, ty1)),
+                               jnp.maximum(tz0, tz1))
+            hit = tmax >= jnp.maximum(tmin, 0.0)
+            cand = jnp.where(hit, tmin, _BIG)
+            m = jnp.min(cand, axis=1, keepdims=True)          # (P, 1)
+            uid_l = jax.lax.bitcast_convert_type(u[6:7, :], jnp.int32)
+            ids = jnp.broadcast_to(uid_l, cand.shape)
+            sel = jnp.min(jnp.where(cand == m, ids, _INT_BIG), axis=1,
+                          keepdims=True)
+            take = m < t_out[0, :, :]
+            id_out[0, :, :] = jnp.where(take, sel, id_out[0, :, :])
+            t_out[0, :, :] = jnp.where(take, m, t_out[0, :, :])
+
+        nxt = j + 1
+        z_lb = (tab_ref[jnp.minimum(nxt * batch, c_cap - 1), t]
+                & 0xFFFF).astype(jnp.float32) * dz_ref[0]
+        worst = jnp.max(jnp.minimum(t_out[0, :, :], bound))
+        done = (nxt * batch >= count) | (worst < z_lb)
+        return nxt, done
+
+    jax.lax.while_loop(lambda s: ~s[1], body, (jnp.int32(0), count == 0))
+
+
+# units tables up to this size live wholly in VMEM (kernel reads them by
+# dynamic index -- no DMA); larger scenes take the HBM ring-DMA kernel.
+# v5e VMEM is ~16 MB/core; rays/outputs/boxes/table overheads stay under
+# ~1.5 MB at 16 px tiles, so 13 MB of units is safe
+_VMEM_UNITS_BYTES = 13 * 1024 * 1024
 
 
 @functools.partial(
@@ -436,45 +570,16 @@ def _raster_frame(units, uaabb, l3boxes, origin, direction, cam_r, cam_t,
     inv_dir = 1.0 / jnp.where(jnp.abs(direction) > 1e-12, direction,
                               jnp.where(direction >= 0, 1e-12, -1e-12))
 
-    # per-TILE scene-exit bound from the occupied level-3 cells (see
-    # build_raster_spc): no ray can hit past the deepest occupied box
-    # whose projection overlaps the tile, so the kernel's early exit uses
-    # worst = min(max_pixels(t), tile_bound) — identical semantics to a
-    # per-pixel bound (min with a constant commutes with max) at ~zero
-    # cost (a (tiles, boxes) interval test; the per-RAY formulation this
-    # replaces materialized (rays, boxes, 3) arrays — 400 MB/frame).
-    bl = l3boxes[:, 0:3]
-    bh = l3boxes[:, 3:6]
-    sel8 = jnp.asarray(
-        [[x, y, zc] for x in (0, 1) for y in (0, 1) for zc in (0, 1)],
-        jnp.float32)
-    bcorn = bl[:, None, :] * (1.0 - sel8) + bh[:, None, :] * sel8  # (M,8,3)
-    bcam = jnp.einsum("ij,mcj->mci", cam_r, bcorn) + cam_t
-    bdepth = -bcam[..., 2]                                         # (M, 8)
-    bfront = bdepth > 1e-8
-    bdep_max = jnp.max(jnp.where(bfront, bdepth, -1.0), axis=1)    # (M,)
-    safe_bd = jnp.where(bfront, bdepth, 1.0)
-    bpx = ((bcam[..., 0] / safe_bd) / tan_h + 1.0) * (width * 0.5) + x0
-    bpy = (-(bcam[..., 1] / safe_bd) / tan_v + 1.0) * (height * 0.5) - y0
-    bstrad = jnp.any(bfront, axis=1) & ~jnp.all(bfront, axis=1)
-    bx_lo = jnp.where(bstrad, 0.0,
-                      jnp.min(jnp.where(bfront, bpx, _BIG), axis=1))
-    bx_hi = jnp.where(bstrad, float(width),
-                      jnp.max(jnp.where(bfront, bpx, -_BIG), axis=1))
-    by_lo = jnp.where(bstrad, 0.0,
-                      jnp.min(jnp.where(bfront, bpy, _BIG), axis=1))
-    by_hi = jnp.where(bstrad, float(height),
-                      jnp.max(jnp.where(bfront, bpy, -_BIG), axis=1))
-    blive = jnp.any(bfront, axis=1) & (l3boxes[:, 0] < 1.0e38)
-    tix = jnp.arange(tx_n, dtype=jnp.float32) * tile_px            # (Tx,)
-    tiy = jnp.arange(ty_n, dtype=jnp.float32) * tile_px
-    ov_x = (bx_hi[None, :] >= tix[:, None] - 0.51) \
-        & (bx_lo[None, :] <= tix[:, None] + tile_px + 0.51)        # (Tx, M)
-    ov_y = (by_hi[None, :] >= tiy[:, None] - 0.51) \
-        & (by_lo[None, :] <= tiy[:, None] + tile_px + 0.51)        # (Ty, M)
-    ov = (ov_y[:, None, :] & ov_x[None, :, :]) & blive[None, None]
-    tile_bound = jnp.max(jnp.where(ov, bdep_max[None, None], -1.0),
-                         axis=2).reshape(t_n)                      # (T,)
+    # occupied level-3 boxes as ONE constant (8, M) VMEM block for the
+    # kernel's per-ray scene-exit prologue: rows 0-2 box lo, 3-5 box hi,
+    # lanes = boxes padded to a full 128-lane tile (dead lanes carry
+    # lo = +2e38 and are masked out in-kernel)
+    m_boxes = l3boxes.shape[0]
+    m_pad = max(_LANES, -(-m_boxes // _LANES) * _LANES)
+    boxes_t = jnp.concatenate(
+        [l3boxes,
+         jnp.full((m_pad - m_boxes, 8), 2.0e38, l3boxes.dtype)],
+        axis=0).T[0:8]                                        # (8, M)
 
     rays = jnp.concatenate(
         [origin, inv_dir, jnp.zeros((origin.shape[0], 2), origin.dtype)],
@@ -482,32 +587,79 @@ def _raster_frame(units, uaabb, l3boxes, origin, direction, cam_r, cam_t,
     rays = rays.reshape(ty_n, tile_px, tx_n, tile_px, 8) \
         .transpose(0, 2, 1, 3, 4).reshape(t_n, p, 8)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(t_n,),
-        in_specs=[
-            pl.BlockSpec((1, p, 8), lambda t, tab, cnt, dz, tb: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # units stay in HBM
-        ],
-        out_specs=[
-            pl.BlockSpec((1, p, 1), lambda t, tab, cnt, dz, tb: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, 1), lambda t, tab, cnt, dz, tb: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((_RING, 8, _LANES), jnp.float32),   # prefetch ring
-            pltpu.SemaphoreType.DMA((_RING,)),
-        ],
-    )
+    # active-tile compaction (both kernel paths): grid runs over the
+    # TRACED number of nonempty tiles; inactive tiles are filled with
+    # background by the jnp.where below, so compaction drops nothing and
+    # needs no capacity knob
+    active = counts > 0
+    act = jnp.nonzero(active, size=t_n, fill_value=0)[0].astype(jnp.int32)
+    n_act = jnp.sum(active.astype(jnp.int32))
+    prefetched = (tab, counts, dz.reshape(1), act)
+
+    if units.size * 4 <= _VMEM_UNITS_BYTES:
+        batch = next(b for b in (4, 2, 1) if c_cap % b == 0)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(n_act,),
+            in_specs=[
+                pl.BlockSpec((8, m_pad),
+                             lambda i, tab, cnt, dz, a: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, p, 8),
+                             lambda i, tab, cnt, dz, a: (a[i], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(units.shape,
+                             lambda i, tab, cnt, dz, a: (0, 0, 0),
+                             memory_space=pltpu.VMEM),  # whole unit table
+            ],
+            out_specs=[
+                pl.BlockSpec((1, p, 1),
+                             lambda i, tab, cnt, dz, a: (a[i], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, p, 1),
+                             lambda i, tab, cnt, dz, a: (a[i], 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        )
+        kern = functools.partial(_raster_kernel_vmem, c_cap=c_cap,
+                                 batch=batch)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(n_act,),
+            in_specs=[
+                pl.BlockSpec((8, m_pad),
+                             lambda i, tab, cnt, dz, a: (0, 0),
+                             memory_space=pltpu.VMEM),  # l3 boxes
+                pl.BlockSpec((1, p, 8),
+                             lambda i, tab, cnt, dz, a: (a[i], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),   # units stay in HBM
+            ],
+            out_specs=[
+                pl.BlockSpec((1, p, 1),
+                             lambda i, tab, cnt, dz, a: (a[i], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, p, 1),
+                             lambda i, tab, cnt, dz, a: (a[i], 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((_RING, 8, _LANES), jnp.float32),  # DMA ring
+                pltpu.SemaphoreType.DMA((_RING,)),
+            ],
+        )
+        kern = functools.partial(_raster_kernel, c_cap=c_cap)
     depth_t, hit_id = pl.pallas_call(
-        functools.partial(_raster_kernel, c_cap=c_cap),
+        kern,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((t_n, p, 1), jnp.float32),
                    jax.ShapeDtypeStruct((t_n, p, 1), jnp.int32)],
         interpret=interpret,
-    )(tab, counts, dz.reshape(1), tile_bound, rays, units)
+    )(*prefetched, boxes_t, rays, units)
+    live_t = active[:, None, None]
+    depth_t = jnp.where(live_t, depth_t, _BIG)
+    hit_id = jnp.where(live_t, hit_id, -1)
 
     def untile(img):
         return img[:, :, 0].reshape(ty_n, tx_n, tile_px, tile_px) \
