@@ -38,6 +38,7 @@ every config for a fast CPU correctness pass (numbers meaningless).
 ``BENCH_DEADLINE_S`` overrides the global wall budget (default 1100 s).
 """
 
+import functools
 import argparse
 import json
 import os
@@ -288,7 +289,8 @@ def bench_raytrace(level=9, res=512, num_frames=20):
     from kaolin_tpu.ops.spc.spc import generate_points
     from kaolin_tpu.render.camera import Camera
     from kaolin_tpu.render.spc.raster import (build_raster_spc,
-                                              raster_first_hit)
+                                              raster_first_hit,
+                                              raster_first_hit_sequence)
 
     # dense unit-sphere shell voxelized at 2^level (analytic; build cost is
     # one-time setup and excluded, like the reference bench would exclude
@@ -314,10 +316,10 @@ def bench_raytrace(level=9, res=512, num_frames=20):
 
     # binning capacities: validate once by growing on overflow, persist to
     # the sidecar so reruns skip the doubling recompiles (overflow is still
-    # checked every frame — a stale entry only costs one grow). v2 key:
-    # the r4 entries carried 8px tiles, whose SMEM table cannot fit on v5e.
-    key = f"raster_caps_v2_l{level}_r{res}"
-    tile_px, s_max, c_cap = _sidecar_get(key, [16, 16, 32])
+    # checked every frame — a stale entry only costs one grow). v3 key:
+    # iota-built tile-packed rays + sequence-path measurement.
+    key = f"raster_caps_v3_l{level}_r{res}"
+    tile_px, s_max, c_cap = _sidecar_get(key, [16, 16, 64])
 
     def render(tpx, sm, cc):
         t, nidx, valid, ov = raster_first_hit(rspc, camera, tile_px=tpx,
@@ -338,14 +340,18 @@ def bench_raytrace(level=9, res=512, num_frames=20):
         _sidecar_set(key, [tile_px, s_max, c_cap])
         _sync(out)
         holder = {}
+        cams = [camera] * num_frames
 
         def run():
-            for _ in range(num_frames):
-                holder["out"], _ = render(tile_px, s_max, c_cap)
+            # ONE lax.scan dispatch for the whole frame window: the
+            # framework's trajectory-rendering path, and robust to the
+            # axon tunnel's per-dispatch latency (which varies 1-7 ms)
+            holder["out"] = raster_first_hit_sequence(
+                rspc, cams, tile_px=tile_px, s_max=s_max, c_cap=c_cap)[0]
             return num_frames
 
         fps = _best_of(2, run, lambda: _sync(holder["out"]))
-        return fps, {"path": "raster"}
+        return fps, {"path": "raster-sequence"}
     except Exception as e:
         # fallback chain (VERDICT r4 #1): the component must never score 0
         # because the Pallas kernel failed to compile — fall back to the
@@ -428,13 +434,28 @@ def bench_flexicubes(res=64, num_iters=10):
         updates, state = opt.update(g, state)
         return optax.apply_updates(sdf, updates), state
 
-    sdf, state = one_iter(sdf0, opt.init(sdf0))  # compile
+    @functools.partial(jax.jit, static_argnames="n")
+    def rollout(sdf, state, n):
+        # the whole optimization window as ONE lax.scan dispatch — the
+        # standard shape of an on-device SDF-optimization loop, and robust
+        # to the axon tunnel's per-dispatch latency (1-7 ms, which at
+        # ~3 ms/iter device time would halve the measured rate)
+        def body(carry, _):
+            sdf, state = carry
+            val, g = jax.value_and_grad(loss_fn)(sdf)
+            updates, state = opt.update(g, state)
+            return (optax.apply_updates(sdf, updates), state), None
+        carry, _ = jax.lax.scan(body, (sdf, state), None, length=n)
+        return carry
+
+    sdf, state = one_iter(sdf0, opt.init(sdf0))  # compile single-step
+    sdf, state = rollout(sdf, state, num_iters)  # compile rollout
     _sync(sdf)
     box = {"sdf": sdf, "state": state}
 
     def run():
-        for _ in range(num_iters):
-            box["sdf"], box["state"] = one_iter(box["sdf"], box["state"])
+        box["sdf"], box["state"] = rollout(box["sdf"], box["state"],
+                                           num_iters)
         return num_iters
 
     return _best_of(2, run, lambda: _sync(box["sdf"]))

@@ -372,7 +372,7 @@ class Collision:
 
     # -- occupied-cell-compacted grid broad phase --
     def _cellgrid_pairs(self, cur, cp_x0, cp_obj_ids, cp_is_static,
-                        cp_exclude=None):
+                        cp_exclude=None, _stage=None):
         """Returns COMPACT pairs ``(ia, ib, valid)`` of shape
         (max_contacts,) plus a diagnostics dict.
 
@@ -434,6 +434,10 @@ class Collision:
         in_tab = (rank < k) & real_s & (occ_idx < m_cap)
         dropped = jnp.sum(((rank >= k) & real_s).astype(i32))
         max_occ = jnp.max(jnp.where(real_s, rank, -1)) + 1
+        # _stage: profiling hook (see flexicubes/dense.py) — return a
+        # prefix-dependent scalar so XLA DCEs later stages
+        if _stage == 'bin':
+            return rank.sum(), occ_idx.sum(), max_occ, {}
 
         # packed channels: [cur(3), x0(3), meta, idx+1], CHANNELS-LEADING
         # (8, N); empty slots are all zero → idx channel 0 marks invalid.
@@ -478,56 +482,63 @@ class Collision:
             nbr_lins.append(jnp.where(ok, (nx * gy + ny) * gz + nz,
                                       num_cells))
         nbr_occ = cell_map[jnp.stack(nbr_lins)]             # (13, M)
+        if _stage == 'cellmap':
+            return nbr_occ.sum(), occ_lin.sum(), grid.sum(), {}
 
         grid_p = jnp.concatenate(
             [grid, jnp.zeros((8, k, 1), f32)], axis=2)      # (8, K, M+1)
         nb = grid_p[:, :, nbr_occ]                          # (8, K, 13, M)
+        if _stage == 'nbr':
+            return nb.sum(), nb.sum(), nb.sum(), {}
 
-        c_pos, c_x0 = grid[0:3], grid[3:6]                  # (3, K, M)
-        c_meta, c_ok = grid[6], grid[7] > 0.5               # (K, M)
-
-        # exact narrow test; in-cell block uses the upper triangle so each
-        # unordered pair appears exactly once (cross-cell dedup is
-        # structural via the half stencil)
-        d2_in = jnp.sum((c_pos[:, :, None] - c_pos[:, None]) ** 2, 0)
-        r2_in = jnp.sum((c_x0[:, :, None] - c_x0[:, None]) ** 2, 0)
-        tri = (jnp.arange(k)[:, None] < jnp.arange(k)[None, :])
-        m_in = (tri[:, :, None] & c_ok[:, None] & c_ok[None]
-                & self._narrow_mask(d2_in, r2_in, (c_meta // 2)[:, None],
-                                    (c_meta // 2)[None]))   # (K, K, M)
-        n_ok = nb[7] > 0.5                                  # (K, 13, M)
-        d2_x = jnp.sum((c_pos[:, :, None, None] - nb[0:3][:, None]) ** 2, 0)
-        r2_x = jnp.sum((c_x0[:, :, None, None] - nb[3:6][:, None]) ** 2, 0)
-        m_x = (c_ok[:, None, None] & n_ok[None]
-               & self._narrow_mask(d2_x, r2_x,
-                                   (c_meta // 2)[:, None, None],
-                                   (nb[6] // 2)[None]))     # (K, K, 13, M)
-
-        mask_all = jnp.concatenate(
-            [m_in[:, :, None], m_x], axis=2)                # (K, K, 14, M)
-        pid = jnp.concatenate(
-            [grid[7][:, None], nb[7]], axis=1)              # (K, 14, M)
-        num_pairs = jnp.sum(mask_all.astype(i32))
-
-        # -- compaction: per-point top-k rows, then one small payload sort.
-        # A flat nonzero over the (K, K, 14, M) candidate block is a full
+        # -- narrow test + compaction: per-point top-k rows, then one small
+        # payload sort. A flat nonzero over the candidate block is a full
         # device sort of K*K*14*M keys — measured 493 ms at bench scale
         # (54M slots) on a v5-lite, 98% of the whole sim step. Instead:
-        # pack each candidate's partner id with its mask bit, view the
-        # block as one row of K*14 candidates per OCCUPIED POINT SLOT,
-        # gather the N real points' rows, and run lax.top_k per row
-        # (pp_cap winners; a 14-cell neighborhood holds at most ~30 true
-        # contacts at detection_ratio 1.5, and overflow is counted). The
-        # only remaining global step is a 3-array sort of N*pp_cap slots
-        # (~343k at 10.7k points — ~1 ms) down to the max_contacts list.
+        # build each candidate's (mask? partner-id: 0) value DIRECTLY in
+        # per-point-row layout (Ks, M, Kp, 14) — broadcasting the a-side
+        # slot against a (8, M, Kp, 14) partner block; building row-major
+        # avoids a separate 54M-element transpose (~2 ms) — gather the N
+        # real points' rows, and run lax.top_k per row (pp_cap winners; a
+        # 14-cell neighborhood holds ~30 true contacts at detection_ratio
+        # 1.5, measured at rest by configure_grid; overflow is counted).
+        # The only remaining global step is a small payload sort of
+        # N*pp_cap slots down to the max_contacts list. In-cell (block 0)
+        # uses the upper triangle so each unordered pair appears exactly
+        # once; cross-cell dedup is structural via the half stencil.
+        part = jnp.concatenate(
+            [grid.transpose(0, 2, 1)[:, :, :, None],
+             nb.transpose(0, 3, 1, 2)], axis=3)             # (8, M, Kp, 14)
+        c_pos = grid[0:3]                                   # (3, Ks, M)
+        a_x0 = grid[3:6]
+        a_meta, a_ok = grid[6], grid[7] > 0.5               # (Ks, M)
+        d2 = jnp.sum((c_pos[:, :, :, None, None]
+                      - part[0:3, None]) ** 2, 0)           # (Ks, M, Kp, 14)
+        r2 = jnp.sum((a_x0[:, :, :, None, None]
+                      - part[3:6, None]) ** 2, 0)
+        tri = (jnp.arange(k)[:, None] < jnp.arange(k)[None, :])
+        blk0 = (jnp.arange(14) == 0)
+        mask_all = (a_ok[:, :, None, None] & (part[7, None] > 0.5)
+                    & (tri[:, None, :, None] | ~blk0)
+                    & self._narrow_mask(d2, r2,
+                                        (a_meta // 2)[:, :, None, None],
+                                        (part[6, None] // 2)))
+        num_pairs = jnp.sum(mask_all.astype(i32))
+        if _stage == 'mask':
+            return num_pairs, num_pairs, num_pairs, {}
+
         pp_cap = min(self.point_contact_capacity, k * 14)
-        pid_i = pid.astype(i32)                             # order+1; 0=none
-        val = jnp.where(mask_all, pid_i[None] + (1 << 20), 0)
-        rows = val.transpose(0, 3, 1, 2).reshape(k * m_cap, k * 14)
+        pid_i = part[7, None].astype(i32)                   # order+1; 0=none
+        val = jnp.where(mask_all, pid_i + (1 << 20), 0)
+        rows = val.reshape(k * m_cap, k * 14)
         row_of = jnp.where(in_tab, rank * m_cap + occ_idx, 0)
         prow = jnp.where(in_tab[:, None], rows[row_of], 0)  # (N, 14K)
+        if _stage == 'rows':
+            return prow.sum(), prow.sum(), prow.sum(), {}
         vals = jax.lax.top_k(prow, pp_cap)[0]               # (N, Pp)
         pvalid = vals >= (1 << 20)
+        if _stage == 'topk':
+            return vals.sum(), vals.sum(), vals.sum(), {}
         # per-point fan-out overflow: true candidates beyond pp_cap
         row_cnt = jnp.sum((prow >= (1 << 20)).astype(i32), axis=1)
         pp_dropped = jnp.sum(jnp.maximum(row_cnt - pp_cap, 0))
@@ -539,11 +550,21 @@ class Collision:
         ia_full = jnp.broadcast_to(
             (order + 1)[:, None], (n, pp_cap)).reshape(-1)
         ib_full = jnp.where(pvalid, vals - (1 << 20), 0).reshape(-1)
-        key_s, ia_s, ib_s = jax.lax.sort(
-            (sort_key, ia_full, ib_full), num_keys=1)
-        valid = key_s[:self.max_contacts] != jnp.int32(2 ** 31 - 1)
-        ia = jnp.where(valid, ia_s[:self.max_contacts] - 1, 0)
-        ib = jnp.where(valid, ib_s[:self.max_contacts] - 1, 0)
+        mc = self.max_contacts
+        if n < (1 << 15):
+            # both ids fit 15 bits: pack them into ONE payload array so
+            # the compaction sort moves 2 arrays, not 3
+            packed = (ia_full << 15) | ib_full
+            key_s, pk_s = jax.lax.sort((sort_key, packed), num_keys=1)
+            valid = key_s[:mc] != jnp.int32(2 ** 31 - 1)
+            ia = jnp.where(valid, (pk_s[:mc] >> 15) - 1, 0)
+            ib = jnp.where(valid, (pk_s[:mc] & 0x7FFF) - 1, 0)
+        else:
+            key_s, ia_s, ib_s = jax.lax.sort(
+                (sort_key, ia_full, ib_full), num_keys=1)
+            valid = key_s[:mc] != jnp.int32(2 ** 31 - 1)
+            ia = jnp.where(valid, ia_s[:mc] - 1, 0)
+            ib = jnp.where(valid, ib_s[:mc] - 1, 0)
 
         diag = {"num_pairs": num_pairs,
                 "contacts_overflow": num_pairs > self.max_contacts,

@@ -37,8 +37,11 @@ not need the traversal at all, so this module re-derives it as a
 
 The slab arithmetic is kept OP-FOR-OP identical to
 ``raytrace._raytrace_fixed``'s (same ``(b - o) * inv_d`` forms, same
-``tmax >= max(tmin, 0)`` validity), so depths match the traversal bitwise
-and the parity suite can assert exact agreement.
+``tmax >= max(tmin, 0)`` validity); rays are generated in tile-packed
+layout from iota pixel grids with the same formulas as
+``generate_pinhole_rays``, so depths match the traversal to within ULP
+reassociation (the parity suite asserts ULP agreement, exact ids wherever
+depths are bit-identical).
 
 ``unbatched_raytrace`` remains the API for full nugget lists (volume
 integration); this module is the fast path for depth / first-hit id images
@@ -310,7 +313,8 @@ def _bin_units(uaabb, cam_r, cam_t, tan_h, tan_v, x0, y0, *, width, height,
 # ---------------------------------------------------------------------------
 
 def _raster_kernel(tab_ref, cnt_ref, dz_ref, act_ref, boxes_ref, rays_ref,
-                   units_hbm, t_out, id_out, ubuf, sems, *, c_cap):
+                   units_hbm, t_out, id_out, ubuf, sems, *, c_cap,
+                   compact):
     """One grid step per TILE: walk the tile's front-to-back unit list with
     a double-buffered manual DMA pipeline (units stay in HBM; each
     iteration waits the current unit's copy, prefetches the next, runs the
@@ -324,7 +328,7 @@ def _raster_kernel(tab_ref, cnt_ref, dz_ref, act_ref, boxes_ref, rays_ref,
     nothing: empty tiles do no DMA at all, and the while_loop runs only as
     many iterations as the tile needs.
     """
-    t = act_ref[pl.program_id(0)]
+    t = act_ref[pl.program_id(0)] if compact else pl.program_id(0)
     count = cnt_ref[t]
     t_out[0, :, :] = jnp.full(t_out.shape[1:], _BIG, jnp.float32)
     id_out[0, :, :] = jnp.full(id_out.shape[1:], -1, jnp.int32)
@@ -448,116 +452,13 @@ def _raster_kernel(tab_ref, cnt_ref, dz_ref, act_ref, boxes_ref, rays_ref,
                 wait(jax.lax.rem(final_j + k, _RING))
 
 
-def _raster_kernel_vmem(tab_ref, cnt_ref, dz_ref, act_ref, boxes_ref,
-                        rays_ref, units_ref, t_out, id_out, *, c_cap, batch):
-    """Active-tile variant with the whole unit table VMEM-resident.
-
-    One grid step per ACTIVE tile (the grid size is the traced active-tile
-    count — empty tiles cost zero, not one predicated step), units are read
-    straight out of VMEM by dynamic index (no DMA ring, no semaphores), and
-    the front-to-back walk is unrolled ``batch`` units per ``while_loop``
-    iteration so the loop's fixed cost (scalar table reads, predicate) is
-    amortized over 4x the slab work.  Slots past ``count`` hold table value
-    0 -> unit 0: re-testing an already-tested or unbinned unit is provably
-    harmless (the hit set per ray is identical -- binning is conservative,
-    so any leaf that hits a ray of this tile is in a unit binned to it),
-    which is what makes pad-free batching correct.
-    """
-    i = pl.program_id(0)
-    t = act_ref[i]
-    count = cnt_ref[t]
-    t_out[0, :, :] = jnp.full(t_out.shape[1:], _BIG, jnp.float32)
-    id_out[0, :, :] = jnp.full(id_out.shape[1:], -1, jnp.int32)
-
-    ox = rays_ref[0, :, 0:1]                                  # (P, 1)
-    oy = rays_ref[0, :, 1:2]
-    oz = rays_ref[0, :, 2:3]
-    ixd = rays_ref[0, :, 3:4]
-    iyd = rays_ref[0, :, 4:5]
-    izd = rays_ref[0, :, 5:6]
-
-    # per-ray scene-exit bound prologue (see _raster_kernel)
-    blo_x = boxes_ref[0:1, :]
-    blo_y = boxes_ref[1:2, :]
-    blo_z = boxes_ref[2:3, :]
-    bhi_x = boxes_ref[3:4, :]
-    bhi_y = boxes_ref[4:5, :]
-    bhi_z = boxes_ref[5:6, :]
-    live_m = blo_x < 1.0e38
-    qx0 = (blo_x - ox) * ixd
-    qx1 = (bhi_x - ox) * ixd
-    qy0 = (blo_y - oy) * iyd
-    qy1 = (bhi_y - oy) * iyd
-    qz0 = (blo_z - oz) * izd
-    qz1 = (bhi_z - oz) * izd
-    q_in = jnp.maximum(jnp.maximum(jnp.minimum(qx0, qx1),
-                                   jnp.minimum(qy0, qy1)),
-                       jnp.minimum(qz0, qz1))
-    q_out = jnp.minimum(jnp.minimum(jnp.maximum(qx0, qx1),
-                                    jnp.maximum(qy0, qy1)),
-                        jnp.maximum(qz0, qz1))
-    q_hit = (q_out >= jnp.maximum(q_in, 0.0)) & live_m
-    bound = jnp.max(jnp.where(q_hit, q_out, -1.0), axis=1,
-                    keepdims=True)                            # (P, 1)
-
-    def body(state):
-        j, _ = state
-        for b in range(batch):
-            uid = tab_ref[j * batch + b, t] >> 16
-            u = units_ref[uid]                                # (8, 128)
-            bx = u[0:1, :]
-            by = u[1:2, :]
-            bz = u[2:3, :]
-            bxw = u[3:4, :]
-            byw = u[4:5, :]
-            bzw = u[5:6, :]
-            tx0 = (bx - ox) * ixd                             # (P, 128)
-            tx1 = (bxw - ox) * ixd
-            ty0 = (by - oy) * iyd
-            ty1 = (byw - oy) * iyd
-            tz0 = (bz - oz) * izd
-            tz1 = (bzw - oz) * izd
-            tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                           jnp.minimum(ty0, ty1)),
-                               jnp.minimum(tz0, tz1))
-            tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                           jnp.maximum(ty0, ty1)),
-                               jnp.maximum(tz0, tz1))
-            hit = tmax >= jnp.maximum(tmin, 0.0)
-            cand = jnp.where(hit, tmin, _BIG)
-            m = jnp.min(cand, axis=1, keepdims=True)          # (P, 1)
-            uid_l = jax.lax.bitcast_convert_type(u[6:7, :], jnp.int32)
-            ids = jnp.broadcast_to(uid_l, cand.shape)
-            sel = jnp.min(jnp.where(cand == m, ids, _INT_BIG), axis=1,
-                          keepdims=True)
-            take = m < t_out[0, :, :]
-            id_out[0, :, :] = jnp.where(take, sel, id_out[0, :, :])
-            t_out[0, :, :] = jnp.where(take, m, t_out[0, :, :])
-
-        nxt = j + 1
-        z_lb = (tab_ref[jnp.minimum(nxt * batch, c_cap - 1), t]
-                & 0xFFFF).astype(jnp.float32) * dz_ref[0]
-        worst = jnp.max(jnp.minimum(t_out[0, :, :], bound))
-        done = (nxt * batch >= count) | (worst < z_lb)
-        return nxt, done
-
-    jax.lax.while_loop(lambda s: ~s[1], body, (jnp.int32(0), count == 0))
-
-
-# units tables up to this size live wholly in VMEM (kernel reads them by
-# dynamic index -- no DMA); larger scenes take the HBM ring-DMA kernel.
-# v5e VMEM is ~16 MB/core; rays/outputs/boxes/table overheads stay under
-# ~1.5 MB at 16 px tiles, so 13 MB of units is safe
-_VMEM_UNITS_BYTES = 13 * 1024 * 1024
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile_px", "s_max", "c_cap",
-                     "interpret"))
-def _raster_frame(units, uaabb, l3boxes, origin, direction, cam_r, cam_t,
+                     "interpret", "compact"))
+def _raster_frame(units, uaabb, l3boxes, cam_r, cam_t,
                   tan_h, tan_v, x0, y0, *, width, height, tile_px, s_max,
-                  c_cap, interpret=False):
+                  c_cap, interpret=False, compact=False):
     tx_n = width // tile_px
     ty_n = height // tile_px
     t_n = tx_n * ty_n
@@ -566,9 +467,6 @@ def _raster_frame(units, uaabb, l3boxes, origin, direction, cam_r, cam_t,
     tab, counts, dz, overflow = _bin_units(
         uaabb, cam_r, cam_t, tan_h, tan_v, x0, y0, width=width,
         height=height, tile_px=tile_px, s_max=s_max, c_cap=c_cap)
-
-    inv_dir = 1.0 / jnp.where(jnp.abs(direction) > 1e-12, direction,
-                              jnp.where(direction >= 0, 1e-12, -1e-12))
 
     # occupied level-3 boxes as ONE constant (8, M) VMEM block for the
     # kernel's per-ray scene-exit prologue: rows 0-2 box lo, 3-5 box hi,
@@ -581,85 +479,99 @@ def _raster_frame(units, uaabb, l3boxes, origin, direction, cam_r, cam_t,
          jnp.full((m_pad - m_boxes, 8), 2.0e38, l3boxes.dtype)],
         axis=0).T[0:8]                                        # (8, M)
 
-    rays = jnp.concatenate(
-        [origin, inv_dir, jnp.zeros((origin.shape[0], 2), origin.dtype)],
-        axis=1)                                               # (R, 8)
-    rays = rays.reshape(ty_n, tile_px, tx_n, tile_px, 8) \
-        .transpose(0, 2, 1, 3, 4).reshape(t_n, p, 8)
+    # rays built FULLY ELEMENTWISE in the final tile-packed (t_n, p, 8)
+    # layout from 3D broadcasted iotas — no relayout exists anywhere on
+    # the frame path. (Building channel planes and stacking them into the
+    # minor-8 layout is an XLA relayout measured at ~8 ms/frame — 3x the
+    # whole kernel; a row-major (H*W, 8) bundle plus the 5-axis tile
+    # permute was ~10 ms. Every channel redundantly computes all three
+    # direction components and selects by channel index — 8x redundant
+    # flops, but that is ~0.1 ms of VPU against ~10 ms of relayout.)
+    # The math replicates generate_pinhole_rays + inv_transform_rays
+    # op-for-op, so depths agree with the traversal to ULP reassociation
+    # (tests assert ULP tolerance + exact ids where depths are
+    # bit-identical).
+    sh = (t_n, p, 8)
+    ti = jax.lax.broadcasted_iota(jnp.int32, sh, 0)
+    si = jax.lax.broadcasted_iota(jnp.int32, sh, 1)
+    ci = jax.lax.broadcasted_iota(jnp.int32, sh, 2)
+    pix_y = ((ti // tx_n) * tile_px + si // tile_px).astype(jnp.float32) \
+        + 0.5
+    pix_x = ((ti % tx_n) * tile_px + si % tile_px).astype(jnp.float32) \
+        + 0.5
+    pix_x = pix_x - x0
+    pix_y = pix_y + y0
+    ndc_x = 2 * (pix_x / width) - 1.0
+    ndc_y = 2 * (pix_y / height) - 1.0
+    dcx = ndc_x * tan_h
+    dcy = -ndc_y * tan_v
+    # world = R^T @ cam (inv_transform_rays): d_w[i] = sum_j R[j,i] d_c[j]
+    dw = [cam_r[0, i] * dcx + cam_r[1, i] * dcy + cam_r[2, i] * (-1.0)
+          for i in range(3)]
+    nrm = jnp.sqrt(dw[0] * dw[0] + dw[1] * dw[1] + dw[2] * dw[2])
+    inv = []
+    for d_ in dw:
+        d_ = d_ / nrm
+        inv.append(1.0 / jnp.where(jnp.abs(d_) > 1e-12, d_,
+                                   jnp.where(d_ >= 0, 1e-12, -1e-12)))
+    # pinhole origin (shared by every ray): o_w[i] = sum_j R[j,i] (0 - t_j)
+    o_w = [cam_r[0, i] * (0.0 - cam_t[0]) + cam_r[1, i] * (0.0 - cam_t[1])
+           + cam_r[2, i] * (0.0 - cam_t[2]) for i in range(3)]
+    rays = jnp.where(
+        ci == 0, o_w[0], jnp.where(
+            ci == 1, o_w[1], jnp.where(
+                ci == 2, o_w[2], jnp.where(
+                    ci == 3, inv[0], jnp.where(
+                        ci == 4, inv[1], jnp.where(
+                            ci == 5, inv[2], 0.0))))))
 
-    # active-tile compaction (both kernel paths): grid runs over the
-    # TRACED number of nonempty tiles; inactive tiles are filled with
-    # background by the jnp.where below, so compaction drops nothing and
-    # needs no capacity knob
+    # active-tile compaction (optional): grid runs over the TRACED number
+    # of nonempty tiles and inactive tiles are background-filled after.
+    # Measured about even on v5e at 512**2/16px (the dynamic grid bound +
+    # scalar-indirected index maps cost Mosaic roughly what the ~3.7k
+    # empty predicated steps cost), so the default is off; kept as a
+    # static knob for scenes whose active fraction is far smaller.
     active = counts > 0
-    act = jnp.nonzero(active, size=t_n, fill_value=0)[0].astype(jnp.int32)
-    n_act = jnp.sum(active.astype(jnp.int32))
-    prefetched = (tab, counts, dz.reshape(1), act)
-
-    if units.size * 4 <= _VMEM_UNITS_BYTES:
-        batch = next(b for b in (4, 2, 1) if c_cap % b == 0)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
-            grid=(n_act,),
-            in_specs=[
-                pl.BlockSpec((8, m_pad),
-                             lambda i, tab, cnt, dz, a: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, p, 8),
-                             lambda i, tab, cnt, dz, a: (a[i], 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(units.shape,
-                             lambda i, tab, cnt, dz, a: (0, 0, 0),
-                             memory_space=pltpu.VMEM),  # whole unit table
-            ],
-            out_specs=[
-                pl.BlockSpec((1, p, 1),
-                             lambda i, tab, cnt, dz, a: (a[i], 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, p, 1),
-                             lambda i, tab, cnt, dz, a: (a[i], 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-        )
-        kern = functools.partial(_raster_kernel_vmem, c_cap=c_cap,
-                                 batch=batch)
+    if compact:
+        act = jnp.nonzero(active, size=t_n, fill_value=0)[0] \
+            .astype(jnp.int32)
+        n_act = jnp.sum(active.astype(jnp.int32))
+        tile_of = lambda i, tab, cnt, dz, a: (a[i], 0, 0)  # noqa: E731
     else:
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
-            grid=(n_act,),
-            in_specs=[
-                pl.BlockSpec((8, m_pad),
-                             lambda i, tab, cnt, dz, a: (0, 0),
-                             memory_space=pltpu.VMEM),  # l3 boxes
-                pl.BlockSpec((1, p, 8),
-                             lambda i, tab, cnt, dz, a: (a[i], 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),   # units stay in HBM
-            ],
-            out_specs=[
-                pl.BlockSpec((1, p, 1),
-                             lambda i, tab, cnt, dz, a: (a[i], 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, p, 1),
-                             lambda i, tab, cnt, dz, a: (a[i], 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((_RING, 8, _LANES), jnp.float32),  # DMA ring
-                pltpu.SemaphoreType.DMA((_RING,)),
-            ],
-        )
-        kern = functools.partial(_raster_kernel, c_cap=c_cap)
+        act = jnp.zeros((1,), jnp.int32)
+        n_act = t_n
+        tile_of = lambda i, tab, cnt, dz, a: (i, 0, 0)  # noqa: E731
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_act,),
+        in_specs=[
+            pl.BlockSpec((8, m_pad), lambda i, tab, cnt, dz, a: (0, 0),
+                         memory_space=pltpu.VMEM),  # l3 boxes
+            pl.BlockSpec((1, p, 8), tile_of, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # units stay in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((1, p, 1), tile_of, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, 1), tile_of, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_RING, 8, _LANES), jnp.float32),   # DMA ring
+            pltpu.SemaphoreType.DMA((_RING,)),
+        ],
+    )
     depth_t, hit_id = pl.pallas_call(
-        kern,
+        functools.partial(_raster_kernel, c_cap=c_cap, compact=compact),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((t_n, p, 1), jnp.float32),
                    jax.ShapeDtypeStruct((t_n, p, 1), jnp.int32)],
         interpret=interpret,
-    )(*prefetched, boxes_t, rays, units)
-    live_t = active[:, None, None]
-    depth_t = jnp.where(live_t, depth_t, _BIG)
-    hit_id = jnp.where(live_t, hit_id, -1)
+    )(tab, counts, dz.reshape(1), act, boxes_t, rays, units)
+    if compact:
+        # un-compacted tiles were never written: background-fill them
+        live_t = active[:, None, None]
+        depth_t = jnp.where(live_t, depth_t, _BIG)
+        hit_id = jnp.where(live_t, hit_id, -1)
 
     def untile(img):
         return img[:, :, 0].reshape(ty_n, tx_n, tile_px, tile_px) \
@@ -674,16 +586,13 @@ def _raster_frame(units, uaabb, l3boxes, origin, direction, cam_r, cam_t,
 
 @jax.jit
 def _prep_camera(camera):
-    """All camera-dependent arrays for one frame in ONE dispatch (the axon
-    tunnel pays ~3 ms per dispatch; an unjitted generate_rays chain is ~25
-    dispatches)."""
-    from kaolin_tpu.render.camera.raygen import generate_rays
+    """Per-frame camera scalars/matrices in ONE dispatch. Rays themselves
+    are built inside :func:`_raster_frame` in tile-packed layout (a
+    row-major (H*W, 3) bundle would need a 5-axis relayout into tiles —
+    measured ~10 ms/frame in XLA, 3x the whole kernel)."""
     from kaolin_tpu.render.camera.intrinsics import CameraFOV
 
-    origin, direction = generate_rays(camera)
-    return (jnp.asarray(origin, jnp.float32),
-            jnp.asarray(direction, jnp.float32),
-            camera.extrinsics.R[0].astype(jnp.float32),
+    return (camera.extrinsics.R[0].astype(jnp.float32),
             camera.extrinsics.t[0, :, 0].astype(jnp.float32),
             jnp.asarray(camera.intrinsics.tan_half_fov(CameraFOV.HORIZONTAL),
                         jnp.float32).reshape(()),

@@ -81,10 +81,15 @@ def test_raster_matches_traversal(level, eye):
     nidx = np.asarray(nidx)
     valid = np.asarray(valid)
     assert (valid == np.isfinite(best)).all()
-    np.testing.assert_array_equal(t[valid], best[valid])
-    # the winner id must be a leaf whose slab entry equals the depth; with
-    # exact arithmetic ties broken to lowest id on both sides they agree
-    np.testing.assert_array_equal(nidx[valid], best_id[valid])
+    # the raster builds rays in tile-packed layout from iota grids (no
+    # pixel permutes); its ray directions differ from generate_rays by ULP
+    # reassociation, so depths agree to ULP not bitwise
+    np.testing.assert_allclose(t[valid], best[valid], rtol=2e-6, atol=1e-6)
+    exact = t[valid] == best[valid]
+    assert exact.mean() > 0.75
+    # wherever depths are bit-identical the winner id must match exactly
+    # (ULP-shifted depths at grazing rays may pick an adjacent leaf)
+    np.testing.assert_array_equal(nidx[valid][exact], best_id[valid][exact])
     assert (nidx[~valid] == -1).all()
 
 
@@ -106,7 +111,7 @@ def test_raster_camera_inside():
     t = np.asarray(t)
     valid = np.asarray(valid)
     assert (valid == np.isfinite(best)).all()
-    np.testing.assert_array_equal(t[valid], best[valid])
+    np.testing.assert_allclose(t[valid], best[valid], rtol=2e-6, atol=1e-6)
 
 
 def test_raster_sequence_matches_per_frame():
@@ -125,9 +130,16 @@ def test_raster_sequence_matches_per_frame():
     for i, cam in enumerate(cams):
         t1, id1, v1, _ = raster_first_hit(rspc, cam, tile_px=8, s_max=16,
                                           c_cap=64)
-        np.testing.assert_array_equal(np.asarray(ts[i]), np.asarray(t1))
-        np.testing.assert_array_equal(np.asarray(ids[i]), np.asarray(id1))
+        # scan vs standalone fusion contexts reassociate the iota-based
+        # ray math by ULPs — same tolerance policy as the traversal test
+        ti, t1 = np.asarray(ts[i]), np.asarray(t1)
+        fin = np.isfinite(t1)
         np.testing.assert_array_equal(np.asarray(vs[i]), np.asarray(v1))
+        np.testing.assert_allclose(ti[fin], t1[fin], rtol=2e-6, atol=1e-6)
+        exact = ti[fin] == t1[fin]
+        assert exact.mean() > 0.75
+        np.testing.assert_array_equal(np.asarray(ids[i])[fin][exact],
+                                      np.asarray(id1)[fin][exact])
 
 
 def test_raster_capacity_overflow_surfaced():
