@@ -561,8 +561,13 @@ def bench_collision_10k(num_objects=6, qp_per_object=1700, num_handles=6,
 
     scene.set_scene_gravity(jnp.asarray([0.0, 9.8, 0.0]))
     scene.set_scene_floor(floor_height=-0.6, floor_penalty=10000.0)
+    # contact capacity sized to the scene's measured steady state (~14-21k
+    # pairs) + headroom: every per-contact term in the Newton loop (energy,
+    # gradient, reduced-hessian matmuls, bounds) and the detection row
+    # fetch scale with CAPACITY, not real contacts; auto-resize re-jits if
+    # the stack ever exceeds it
     scene.enable_collisions(collision_particle_radius=0.03,
-                            max_contact_pairs=40000)
+                            max_contact_pairs=28000)
 
     col = scene.force_dict["collision"]["object"]
     if scene.total_qp >= scene.GRID_BROAD_PHASE_THRESHOLD:
