@@ -237,7 +237,7 @@ class Collision:
 
     def configure_grid(self, rest_pts, obj_ids=None, margin=0.5,
                        mem_budget=1.5e9, auto_capacities=True,
-                       headroom=1.5, bounds_pts=None):
+                       headroom=1.5, headroom_k=None, bounds_pts=None):
         """Fix the occupied-cell grid's static geometry from the REST
         configuration (host-side, once). The grid must be configured before
         a ``broad_phase='grid'`` detection can be traced.
@@ -287,6 +287,13 @@ class Collision:
             return int(min(hi_, max(lo_, step * int(np.ceil(
                 max(x, 1) / step)))))
 
+        # K enters the candidate-block cost QUADRATICALLY (M*14*K^2) and
+        # the per-point row length linearly (14K), while M is linear — so
+        # K gets a tighter headroom than M by default (mid-sim occupancy
+        # was measured to grow occupied-cell count ~30% over rest while
+        # max cell occupancy SHRANK; auto-resize covers the residual risk)
+        hk = headroom if headroom_k is None else headroom_k
+
         def measure(cell):
             dims = np.ceil((hi - lo) / cell).astype(np.int64)
             dims = (np.ceil(dims / 4.0) * 4).astype(np.int64)
@@ -295,7 +302,7 @@ class Collision:
             lin = (cc[:, 0] * dims[1] + cc[:, 1]) * dims[2] + cc[:, 2]
             counts = (np.unique(lin, return_counts=True)[1]
                       if lin.size else np.array([1]))
-            k = mult(headroom * counts.max(), 8, 8, 512)
+            k = mult(hk * counts.max(), 8, 8, 512)
             m = mult(headroom * counts.size, 128, 128, 2 * n)
             num_cells = int(dims.prod())
             tests = m * k * 14 * k

@@ -456,6 +456,7 @@ class SimplicitsScene:
             collision.configure_grid(
                 np.asarray(self.sim_pts)[real],
                 obj_ids=np.asarray(self.qp_to_object_map)[real],
+                headroom_k=1.25,
                 auto_capacities=(cell_capacity is None
                                  or max_occupied_cells is None))
             if cell_capacity is not None:

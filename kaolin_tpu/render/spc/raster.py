@@ -25,10 +25,11 @@ not need the traversal at all, so this module re-derives it as a
     the lane-padded minor is the big axis).  Capacity trips are surfaced,
     not dropped: callers grow ``s_max``/``c_cap`` and re-jit.
 3.  **Pallas kernel** (per frame): one grid step per TILE walks the
-    tile's unit list with a ``_RING``-deep manually-pipelined DMA (units
-    stay in HBM; a 4 KB unit copy's latency exceeds the slab-test body,
-    so several copies stay in flight), slab-testing 128 leaves against
-    the tile's pixels per iteration on the VPU.  Units arrive
+    tile's unit list four units per loop iteration with a two-batch
+    manually-pipelined DMA ring (units stay in HBM; a 4 KB unit copy's
+    latency exceeds the slab-test body, so a whole batch of copies stays
+    in flight), slab-testing 128 leaves against the tile's pixels per
+    unit on the VPU.  Units arrive
     front-to-back; the loop stops once every pixel's effective bound --
     ``min(best hit, scene-exit bound)`` from the level-3 occupancy -- is
     closer than the next unit's conservative z lower bound, so interior
@@ -67,7 +68,6 @@ __all__ = ["RasterSPC", "build_raster_spc", "raster_first_hit",
 _LANES = 128
 _BIG = 3.0e38
 _INT_BIG = 2 ** 30
-_RING = 4      # DMA prefetch depth in the tile kernel
 
 
 class RasterSPC(NamedTuple):
@@ -313,44 +313,44 @@ def _bin_units(uaabb, cam_r, cam_t, tan_h, tan_v, x0, y0, *, width, height,
 # ---------------------------------------------------------------------------
 
 def _raster_kernel(tab_ref, cnt_ref, dz_ref, act_ref, boxes_ref, rays_ref,
-                   units_hbm, t_out, id_out, ubuf, sems, *, c_cap,
+                   units_hbm, t_out, id_out, ubuf, sems, *, c_cap, batch,
                    compact):
-    """One grid step per TILE: walk the tile's front-to-back unit list with
-    a double-buffered manual DMA pipeline (units stay in HBM; each
-    iteration waits the current unit's copy, prefetches the next, runs the
-    slab test, and stops as soon as every pixel's best hit is closer than
-    the next unit's conservative depth lower bound).
+    """One grid step per TILE: walk the tile's front-to-back unit list,
+    ``batch`` units per ``while_loop`` iteration, with a two-batch manual
+    DMA ring (units stay in HBM; one batch's copies are in flight while
+    the previous batch is slab-tested).  The loop stops as soon as every
+    pixel's effective bound beats the next batch's conservative depth
+    lower bound.
 
-    The round-4 design ran grid=(tiles, c_cap) with one unit per step —
-    per-step overhead (DMA issue + predicate) was paid for all
-    tiles x c_cap steps even when ``@pl.when`` skipped the body, which
-    measured 90 ms/frame at real capacities. Here skipped work costs
-    nothing: empty tiles do no DMA at all, and the while_loop runs only as
-    many iterations as the tile needs.
+    Slots past ``count`` read table value 0 -> unit 0: DMAing and
+    re-testing an already-tested or unbinned unit is provably harmless
+    (binning is conservative, so any leaf that hits a ray of this tile is
+    in a unit binned to it, and min-reduction is idempotent) — that makes
+    the batch body fully unguarded: no per-unit predicates, no per-unit
+    DMA-issue branches (the round-4/5 one-unit-per-iteration loop spent
+    ~2 us of scalar overhead per unit; batching amortizes it 4x).
     """
     t = act_ref[pl.program_id(0)] if compact else pl.program_id(0)
     count = cnt_ref[t]
     t_out[0, :, :] = jnp.full(t_out.shape[1:], _BIG, jnp.float32)
     id_out[0, :, :] = jnp.full(id_out.shape[1:], -1, jnp.int32)
+    ring = 2 * batch
 
-    def issue(j, slot):
-        uid = tab_ref[j, t] >> 16
+    def issue(j):
+        uid = tab_ref[jnp.minimum(j, c_cap - 1), t] >> 16
+        slot = jax.lax.rem(j, ring)
         pltpu.make_async_copy(units_hbm.at[uid], ubuf.at[slot],
                               sems.at[slot]).start()
 
-    def wait(slot):
+    def wait(j):
+        slot = jax.lax.rem(j, ring)
         pltpu.make_async_copy(units_hbm.at[0], ubuf.at[slot],
                               sems.at[slot]).wait()
 
     @pl.when(count > 0)
     def _():
-        # ring prefetch, depth _RING: a 4 KB unit DMA's latency exceeds the
-        # ~0.85 us slab-test body, so a 2-slot pipeline is DMA-latency
-        # bound — keep _RING copies in flight instead
-        for k in range(_RING - 1):
-            @pl.when(k < count)
-            def _(k=k):
-                issue(k, k)
+        for k in range(ring):          # first two batches in flight
+            issue(jnp.int32(k))
         ox = rays_ref[0, :, 0:1]                              # (P, 1)
         oy = rays_ref[0, :, 1:2]
         oz = rays_ref[0, :, 2:3]
@@ -373,7 +373,7 @@ def _raster_kernel(tab_ref, cnt_ref, dz_ref, act_ref, boxes_ref, rays_ref,
         bhi_x = boxes_ref[3:4, :]
         bhi_y = boxes_ref[4:5, :]
         bhi_z = boxes_ref[5:6, :]
-        live_m = blo_x < 1.0e38                               # (1, M)
+        live_m = blo_x < 1.0e38
         qx0 = (blo_x - ox) * ixd                              # (P, M)
         qx1 = (bhi_x - ox) * ixd
         qy0 = (blo_y - oy) * iyd
@@ -392,64 +392,63 @@ def _raster_kernel(tab_ref, cnt_ref, dz_ref, act_ref, boxes_ref, rays_ref,
 
         def body(state):
             j, _ = state
-            slot = jax.lax.rem(j, _RING)
+            for bb in range(batch):
+                u = j * batch + bb
+                wait(u)
+                slot = jax.lax.rem(u, ring)
+                bx = ubuf[slot, 0:1, :]                       # (1, 128)
+                by = ubuf[slot, 1:2, :]
+                bz = ubuf[slot, 2:3, :]
+                bxw = ubuf[slot, 3:4, :]
+                byw = ubuf[slot, 4:5, :]
+                bzw = ubuf[slot, 5:6, :]
+                # op-for-op the traversal's slab test (_raytrace_fixed)
+                tx0 = (bx - ox) * ixd                         # (P, 128)
+                tx1 = (bxw - ox) * ixd
+                ty0 = (by - oy) * iyd
+                ty1 = (byw - oy) * iyd
+                tz0 = (bz - oz) * izd
+                tz1 = (bzw - oz) * izd
+                tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                               jnp.minimum(ty0, ty1)),
+                                   jnp.minimum(tz0, tz1))
+                tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                               jnp.maximum(ty0, ty1)),
+                                   jnp.maximum(tz0, tz1))
+                hit = tmax >= jnp.maximum(tmin, 0.0)
+                cand = jnp.where(hit, tmin, _BIG)
+                m = jnp.min(cand, axis=1, keepdims=True)      # (P, 1)
+                uid = jax.lax.bitcast_convert_type(ubuf[slot, 6:7, :],
+                                                   jnp.int32)
+                ids = jnp.broadcast_to(uid, cand.shape)
+                sel = jnp.min(jnp.where(cand == m, ids, _INT_BIG), axis=1,
+                              keepdims=True)
+                take = m < t_out[0, :, :]
+                id_out[0, :, :] = jnp.where(take, sel, id_out[0, :, :])
+                t_out[0, :, :] = jnp.where(take, m, t_out[0, :, :])
+                # refill the freed ring slot with the batch after next
+                issue(u + ring)
 
-            @pl.when(j + _RING - 1 < count)
-            def _():                                          # prefetch
-                issue(j + _RING - 1, jax.lax.rem(j + _RING - 1, _RING))
-
-            wait(slot)
-            bx = ubuf[slot, 0:1, :]                           # (1, 128)
-            by = ubuf[slot, 1:2, :]
-            bz = ubuf[slot, 2:3, :]
-            bxw = ubuf[slot, 3:4, :]
-            byw = ubuf[slot, 4:5, :]
-            bzw = ubuf[slot, 5:6, :]
-            # op-for-op the traversal's slab test (_raytrace_fixed)
-            tx0 = (bx - ox) * ixd                             # (P, 128)
-            tx1 = (bxw - ox) * ixd
-            ty0 = (by - oy) * iyd
-            ty1 = (byw - oy) * iyd
-            tz0 = (bz - oz) * izd
-            tz1 = (bzw - oz) * izd
-            tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                           jnp.minimum(ty0, ty1)),
-                               jnp.minimum(tz0, tz1))
-            tmax = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                           jnp.maximum(ty0, ty1)),
-                               jnp.maximum(tz0, tz1))
-            hit = tmax >= jnp.maximum(tmin, 0.0)
-            cand = jnp.where(hit, tmin, _BIG)
-            m = jnp.min(cand, axis=1, keepdims=True)          # (P, 1)
-            uid = jax.lax.bitcast_convert_type(ubuf[slot, 6:7, :],
-                                               jnp.int32)
-            ids = jnp.broadcast_to(uid, cand.shape)
-            sel = jnp.min(jnp.where(cand == m, ids, _INT_BIG), axis=1,
-                          keepdims=True)
-            take = m < t_out[0, :, :]
-            id_out[0, :, :] = jnp.where(take, sel, id_out[0, :, :])
-            t_out[0, :, :] = jnp.where(take, m, t_out[0, :, :])
-
-            # stop once every pixel beats the NEXT unit's depth lower
+            # stop once every pixel beats the NEXT batch's depth lower
             # bound (front-to-back order). A pixel's effective bound is
             # min(best hit, scene-exit bound): rays that miss (or have
             # exhausted) the occupied set stop gating the exit — without
             # this, any background pixel (+inf) forces the full unit walk
             nxt = j + 1
-            z_lb = (tab_ref[jnp.minimum(nxt, c_cap - 1), t]
+            z_lb = (tab_ref[jnp.minimum(nxt * batch, c_cap - 1), t]
                     & 0xFFFF).astype(jnp.float32) * dz_ref[0]
             worst = jnp.max(jnp.minimum(t_out[0, :, :], bound))
-            done = (nxt >= count) | (worst < z_lb)
+            done = (nxt * batch >= count) | (worst < z_lb)
             return nxt, done
 
         final_j, _ = jax.lax.while_loop(lambda s: ~s[1], body,
                                         (jnp.int32(0), count == 0))
 
-        # drain dangling prefetches (up to _RING - 1 issued past final_j)
-        for k in range(_RING - 1):
-            @pl.when(final_j + k < count)
-            def _(k=k):
-                wait(jax.lax.rem(final_j + k, _RING))
+        # drain: the ring holds up to `ring` copies issued past the last
+        # PROCESSED slot (prologue when count==0 never enters the loop,
+        # so drain from final_j*batch regardless)
+        for k in range(ring):
+            wait(final_j * batch + k)
 
 
 @functools.partial(
@@ -531,6 +530,7 @@ def _raster_frame(units, uaabb, l3boxes, cam_r, cam_t,
     # scalar-indirected index maps cost Mosaic roughly what the ~3.7k
     # empty predicated steps cost), so the default is off; kept as a
     # static knob for scenes whose active fraction is far smaller.
+    batch = next(b for b in (4, 2, 1) if c_cap % b == 0)
     active = counts > 0
     if compact:
         act = jnp.nonzero(active, size=t_n, fill_value=0)[0] \
@@ -556,12 +556,13 @@ def _raster_frame(units, uaabb, l3boxes, cam_r, cam_t,
             pl.BlockSpec((1, p, 1), tile_of, memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_RING, 8, _LANES), jnp.float32),   # DMA ring
-            pltpu.SemaphoreType.DMA((_RING,)),
+            pltpu.VMEM((2 * batch, 8, _LANES), jnp.float32),  # DMA ring
+            pltpu.SemaphoreType.DMA((2 * batch,)),
         ],
     )
     depth_t, hit_id = pl.pallas_call(
-        functools.partial(_raster_kernel, c_cap=c_cap, compact=compact),
+        functools.partial(_raster_kernel, c_cap=c_cap, batch=batch,
+                          compact=compact),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((t_n, p, 1), jnp.float32),
                    jax.ShapeDtypeStruct((t_n, p, 1), jnp.int32)],

@@ -151,3 +151,25 @@ def test_raster_capacity_overflow_surfaced():
     _, _, _, overflow = raster_first_hit(rspc, cam, tile_px=16, s_max=4,
                                          c_cap=1)
     assert int(overflow["cap_overflow"]) > 0
+
+
+def test_raster_compact_grid_matches_default():
+    """The active-tile-compaction knob (dynamic grid + scalar-indirected
+    index maps) must produce exactly the default full-grid results,
+    including background fill of never-written tiles."""
+    from kaolin_tpu.render.spc.raster import _raster_frame, _prep_camera
+
+    level = 4
+    octree, ph, pyramid, exsum = _sphere_spc(level, radii=(0.6,))
+    cam = _camera([1.4, 1.0, 1.3], 32)
+    rspc = build_raster_spc(ph, pyramid, level)
+    params = _prep_camera(cam)
+    kw = dict(width=32, height=32, tile_px=8, s_max=16, c_cap=64,
+              interpret=True)
+    t0, id0, v0, _ = _raster_frame(rspc.units, rspc.uaabb, rspc.l3boxes,
+                                   *params, **kw)
+    t1, id1, v1, _ = _raster_frame(rspc.units, rspc.uaabb, rspc.l3boxes,
+                                   *params, compact=True, **kw)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(id0), np.asarray(id1))
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
