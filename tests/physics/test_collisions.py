@@ -438,3 +438,35 @@ def test_qform_bounds_match_legacy():
     got = col.get_bounds_q(c_q, dz2, dz)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_pp_overflow_surfaced_and_resized():
+    """Per-point fan-out capacity (the grid top-k) must surface overflow
+    via its own diag key + bitmask bit, and the scene auto-resize must grow
+    point_contact_capacity, after which detection is drop-free."""
+    dx, x0, obj_ids = _random_scene(0)
+    col = Collision(dt=0.01, collision_particle_radius=0.15,
+                    broad_phase="grid", max_contacting_pairs=4000)
+    col.configure_grid(np.asarray(x0), obj_ids=np.asarray(obj_ids))
+    auto_pp = col.point_contact_capacity
+    col.point_contact_capacity = 1      # starve the per-point top-k
+    diag = col.detection_diagnostics(dx, x0, obj_ids)
+    assert bool(diag["pp_overflow"])
+    assert int(diag["pp_dropped_pairs"]) > 0
+    flags = int(np.asarray(Collision.diag_flags(diag)))
+    assert flags & Collision.FLAG_PP_OVERFLOW
+    # pairs recovered at the auto-measured capacity match the dense oracle
+    col.point_contact_capacity = auto_pp
+    diag = col.detection_diagnostics(dx, x0, obj_ids)
+    assert not bool(diag["pp_overflow"])
+    dense = Collision(dt=0.01, collision_particle_radius=0.15,
+                      broad_phase="dense", max_contacting_pairs=4000)
+    c_g = col.detect_collisions(dx, x0, obj_ids)
+    c_d = dense.detect_collisions(dx, x0, obj_ids)
+
+    def pair_set(c):
+        ia = np.asarray(c.indices_a)[np.asarray(c.valid)]
+        ib = np.asarray(c.indices_b)[np.asarray(c.valid)]
+        return set(map(tuple, np.sort(np.stack([ia, ib], 1), axis=1)
+                       .tolist()))
+    assert pair_set(c_g) == pair_set(c_d)

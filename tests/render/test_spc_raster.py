@@ -173,3 +173,48 @@ def test_raster_compact_grid_matches_default():
     np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
     np.testing.assert_array_equal(np.asarray(id0), np.asarray(id1))
     np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_raster_matches_traversal_random_octree(seed):
+    """Random sparse octrees (non-shell geometry: isolated clusters, uneven
+    density) exercise binning edge cases the sphere shells cannot — tiny
+    units, screen-edge clipping, tiles whose lists are mostly misses."""
+    level = 5
+    rng = np.random.RandomState(seed)
+    # clustered blobs: 4 clusters of points + uniform dust
+    centers = rng.uniform(-0.6, 0.6, (4, 3)).astype(np.float32)
+    pts = np.concatenate(
+        [c + 0.12 * rng.randn(300, 3).astype(np.float32) for c in centers]
+        + [rng.uniform(-1, 1, (100, 3)).astype(np.float32)])
+    grid = 2 ** level
+    q = np.unique(np.clip(((pts + 1) * 0.5 * grid).astype(np.int64), 0,
+                          grid - 1), axis=0)
+    octree = unbatched_points_to_octree(jnp.asarray(q.astype(np.int16)),
+                                        level)
+    lengths = np.array([len(octree)], dtype=np.int32)
+    _, pyramids, exsum = scan_octrees(octree, lengths)
+    from kaolin_tpu.ops.spc.spc import generate_points
+    ph = generate_points(octree, pyramids, exsum)
+    pyramid = np.asarray(pyramids)[0]
+
+    res = 32
+    cam = _camera([1.5, 0.9, -1.2], res)
+    rspc = build_raster_spc(ph, pyramid, level)
+    t, nidx, valid, ov = raster_first_hit(rspc, cam, tile_px=8, s_max=16,
+                                          c_cap=128)
+    assert int(ov["slot_overflow"]) == 0
+    assert int(ov["cap_overflow"]) == 0
+
+    from kaolin_tpu.render.camera.raygen import generate_rays
+    origin, direction = generate_rays(cam)
+    best, best_id = _oracle_first_hit(octree, ph, pyramid, exsum,
+                                      jnp.asarray(origin, jnp.float32),
+                                      jnp.asarray(direction, jnp.float32),
+                                      level)
+    t = np.asarray(t); nidx = np.asarray(nidx); valid = np.asarray(valid)
+    assert (valid == np.isfinite(best)).all()
+    np.testing.assert_allclose(t[valid], best[valid], rtol=2e-6, atol=1e-6)
+    exact = t[valid] == best[valid]
+    assert exact.mean() > 0.75
+    np.testing.assert_array_equal(nidx[valid][exact], best_id[valid][exact])
