@@ -204,10 +204,14 @@ def bench_simplicits(num_qp=1000, num_handles=33, num_steps=50, dt=0.01):
     _sync(scene.sim_z)
 
     def run():
-        for _ in range(num_steps):
-            scene.run_sim_step()
+        # ONE lax.scan dispatch per window (the framework's rollout path;
+        # per-step dispatch through the axon tunnel costs 1-7 ms against a
+        # ~2.5 ms device step)
+        scene.run_sim_steps(num_steps)
         return num_steps
 
+    run()  # compile the rollout
+    _sync(scene.sim_z)
     return _best_of(2, run, lambda: _sync(scene.sim_z))
 
 
@@ -266,9 +270,25 @@ def bench_dibr(height=512, width=512, num_iters=20, n_lat=40, n_lon=64):
     _sync(out[0])
     holder = {}
 
+    @functools.partial(jax.jit, static_argnames="n")
+    def rollout(fvi, feats, n):
+        # a REAL optimization rollout (gradient-descent updates thread the
+        # params through the scan, so no iteration can be hoisted): one
+        # dispatch per window instead of 1-7 ms of axon tunnel per iter
+        def body(carry, _):
+            fvi, feats = carry
+            val, (g_fvi, g_feat) = step(fvi, feats)
+            return (fvi - 1e-6 * g_fvi, feats - 1e-6 * g_feat), val
+        carry, vals = jax.lax.scan(body, (fvi, feats), None, length=n)
+        return carry, vals
+
+    (fvi1, feat1), vals = rollout(fv_img, feat, num_iters)  # compile
+    _sync(vals)
+    box = {"fvi": fv_img, "feat": feat}
+
     def run():
-        for _ in range(num_iters):
-            holder["out"] = step(fv_img, feat)
+        (box["fvi"], box["feat"]), holder["out"] = rollout(
+            box["fvi"], box["feat"], num_iters)
         return num_iters
 
     return _best_of(2, run, lambda: _sync(holder["out"]))
@@ -507,11 +527,29 @@ def bench_gaussians_sim(num_gaussians=2000, num_qp=2048, num_handles=16,
     _sync(moved)
     holder = {}
 
+    # faithful rollout: the WHOLE window is one lax.scan dispatch and the
+    # renderable gaussians are LBS-moved EVERY step (scan ys), exactly the
+    # per-step workload of the dispatch loop without the 1-7 ms/step axon
+    # tunnel cost
+    step_fn, consts = scene.build_functional_step()
+    deformed = scene._deformed_fns[(obj_idx, "rendered")]
+
+    @functools.partial(jax.jit, static_argnames="n")
+    def rollout(cs, z, zp, zd, n):
+        def body(carry, _):
+            z1, zp1, zd1 = step_fn(cs, *carry)
+            return (z1, zp1, zd1), deformed(z1)
+        carry, moved_all = jax.lax.scan(body, (z, zp, zd), None, length=n)
+        return carry, moved_all
+
+    (z1, zp1, zd1), m = rollout(consts, scene.sim_z, scene.sim_z_prev,
+                                scene.sim_z_dot, n=num_steps)  # compile
+    _sync(m)
+
     def run():
-        for _ in range(num_steps):
-            scene.run_sim_step()
-            holder["m"] = scene.get_object_deformed_pts(obj_idx,
-                                                        points="rendered")
+        (scene.sim_z, scene.sim_z_prev, scene.sim_z_dot), holder["m"] = \
+            rollout(consts, scene.sim_z, scene.sim_z_prev, scene.sim_z_dot,
+                    n=num_steps)
         return num_steps
 
     return _best_of(2, run, lambda: _sync(holder["m"]))
