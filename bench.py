@@ -193,7 +193,7 @@ def bench_simplicits(num_qp=1000, num_handles=33, num_steps=50, dt=0.01):
     rng = np.random.RandomState(0)
     pts = rng.uniform(-0.5, 0.5, (num_qp, 3)).astype(np.float32)
     baked = _synthetic_skinned_points(rng, pts, num_handles)
-    scene = SimplicitsScene(timestep=dt, max_newton_steps=5, max_ls_steps=20,
+    scene = SimplicitsScene(timestep=dt, max_newton_steps=5, max_ls_steps=10,
                             direct_solve=True)
     scene.add_object(baked)
     scene.set_scene_gravity(jnp.asarray([0.0, 9.8, 0.0]))
@@ -515,7 +515,7 @@ def bench_gaussians_sim(num_gaussians=2000, num_qp=2048, num_handles=16,
         phys, lambda x: jnp.sin(x @ freqs))
 
     scene = SimplicitsScene(timestep=0.03, max_newton_steps=5,
-                            max_ls_steps=20, direct_solve=True)
+                            max_ls_steps=10, direct_solve=True)
     obj_idx = scene.add_object(obj, num_qp=num_qp,
                                renderable_pts=jnp.asarray(xyz))
     scene.set_scene_gravity(jnp.asarray([0.0, 9.8, 0.0]))
@@ -571,7 +571,7 @@ def bench_collision_10k(num_objects=6, qp_per_object=1700, num_handles=6,
                                                SkinnedPhysicsPoints)
 
     rng = np.random.RandomState(0)
-    scene = SimplicitsScene(timestep=dt, max_newton_steps=5, max_ls_steps=20,
+    scene = SimplicitsScene(timestep=dt, max_newton_steps=5, max_ls_steps=10,
                             direct_solve=True)
     # cluster of touching soft cubes (side 0.5) in two stacked rings
     for i in range(num_objects):
