@@ -129,6 +129,8 @@ def sweep_raytrace(configs=((256, 8), (512, 9), (1024, 9))):
     rows = []
     for res, level in configs:
         fps = bench_raytrace(level=level, res=res, num_frames=10)
+        if isinstance(fps, tuple):      # (rate, meta) since round 5
+            fps = fps[0]
         rows.append((res, level, 1000.0 / fps, fps))
     return rows
 
