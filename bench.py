@@ -530,29 +530,37 @@ def bench_gaussians_sim(num_gaussians=2000, num_qp=2048, num_handles=16,
     # faithful rollout: the WHOLE window is one lax.scan dispatch and the
     # renderable gaussians are LBS-moved EVERY step (scan ys), exactly the
     # per-step workload of the dispatch loop without the 1-7 ms/step axon
-    # tunnel cost
-    step_fn, consts = scene.build_functional_step()
+    # tunnel cost; the collision-overflow bitmask is OR-accumulated across
+    # the window and checked after timing so capacity drops cannot pass
+    # silently
+    step_fn, consts = scene.build_functional_step(with_diag=True)
     deformed = scene._deformed_fns[(obj_idx, "rendered")]
 
     @functools.partial(jax.jit, static_argnames="n")
-    def rollout(cs, z, zp, zd, n):
+    def rollout(cs, z, zp, zd, ovf, n):
         def body(carry, _):
-            z1, zp1, zd1 = step_fn(cs, *carry)
-            return (z1, zp1, zd1), deformed(z1)
-        carry, moved_all = jax.lax.scan(body, (z, zp, zd), None, length=n)
+            z1, zp1, zd1, flags = step_fn(cs, *carry[:3])
+            return (z1, zp1, zd1, carry[3] | flags), deformed(z1)
+        carry, moved_all = jax.lax.scan(body, (z, zp, zd, ovf), None,
+                                        length=n)
         return carry, moved_all
 
-    (z1, zp1, zd1), m = rollout(consts, scene.sim_z, scene.sim_z_prev,
-                                scene.sim_z_dot, n=num_steps)  # compile
+    state = [scene.sim_z, scene.sim_z_prev, scene.sim_z_dot, jnp.int32(0)]
+    _, m = rollout(consts, *state, n=num_steps)  # compile
     _sync(m)
 
     def run():
-        (scene.sim_z, scene.sim_z_prev, scene.sim_z_dot), holder["m"] = \
-            rollout(consts, scene.sim_z, scene.sim_z_prev, scene.sim_z_dot,
-                    n=num_steps)
+        new_state, holder["m"] = rollout(consts, *state, n=num_steps)
+        state[:] = new_state
         return num_steps
 
-    return _best_of(2, run, lambda: _sync(holder["m"]))
+    rate = _best_of(2, run, lambda: _sync(holder["m"]))
+    flags = int(np.asarray(state[3]))
+    if flags:
+        raise RuntimeError(
+            f"collision capacity overflow during gaussians_sim window "
+            f"(flags={flags:#x})")
+    return rate
 
 
 # ---------------------------------------------------------------------------
