@@ -32,6 +32,9 @@ def _load(name):
     "tutorial_understanding_spcs",
     "tutorial_diffuse_lighting",
     "tutorial_easy_mesh_render",
+    "tutorial_sg_specular_lighting",
+    "tutorial_working_with_meshes",
+    "tutorial_working_with_gaussians",
 ])
 def test_tutorial_smoke(name):
     _load(name).main(smoke=True)
