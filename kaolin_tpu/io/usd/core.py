@@ -403,13 +403,20 @@ def get_uvmap_primvar(body):
     return None
 
 
-def import_meshes(file_path, time=None, with_normals=True, with_uvs=True):
-    """All Mesh prims → list of SurfaceMesh (points, faces, uvs +
+def import_meshes(file_path, scene_paths=None, time=None, with_normals=True,
+                  with_uvs=True):
+    """Mesh prims → list of SurfaceMesh (points, faces, uvs +
     face_uvs_idx and normals resolved per their primvar interpolation).
+    ``scene_paths`` restricts (and orders) the result to those prim paths —
+    reference-shaped (ref ``usd/mesh.py:356`` takes scene_paths too).
     Ref ``usd/mesh.py:356``."""
     out = []
+    out_paths = []
+    wanted = None if scene_paths is None else list(scene_paths)
     for prim in _parse_usda(file_path):
         if prim["type"] != "Mesh":
+            continue
+        if wanted is not None and prim["path"] not in wanted:
             continue
         body = prim["body"]
         pts_text = _attr_text(body, "points", time)
@@ -490,12 +497,22 @@ def import_meshes(file_path, time=None, with_normals=True, with_uvs=True):
                     except (NotImplementedError, ValueError):
                         pass
         out.append(SurfaceMesh(**kwargs, strict_checks=False))
+        out_paths.append(prim["path"])
+    if wanted is not None:
+        order = {p_: i for i, p_ in enumerate(out_paths)}
+        missing = [p_ for p_ in wanted if p_ not in order]
+        if missing:
+            raise ValueError(f"no Mesh prim at {missing} in {file_path}")
+        out = [out[order[p_]] for p_ in wanted]
     return out
 
 
 def import_mesh(file_path, scene_path=None, time=None):
-    """First Mesh prim → SurfaceMesh. Ref ``usd/mesh.py:446``."""
-    meshes = import_meshes(file_path, time=time)
+    """One Mesh prim → SurfaceMesh: the prim at ``scene_path`` when given,
+    else the first Mesh in the stage. Ref ``usd/mesh.py:446``."""
+    meshes = import_meshes(
+        file_path, scene_paths=None if scene_path is None else [scene_path],
+        time=time)
     if not meshes:
         raise ValueError(f"no Mesh prim in {file_path}")
     return meshes[0]

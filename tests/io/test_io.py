@@ -381,3 +381,38 @@ def Mesh "fv"
     m2 = kio.usd.import_meshes(str(fv))[0]
     # 3 normals == num verts == num face-vertices; vertex wins (checked 1st)
     assert m2.vertex_normals is not None or m2.face_normals is not None
+
+
+def test_usd_import_mesh_scene_path_selects_prim(tmp_path):
+    """import_mesh(scene_path=...) must return THAT prim, not the first
+    mesh in the stage (regression: the path was ignored), and
+    import_meshes(scene_paths=...) must filter AND order by the list."""
+    import numpy as np
+    import jax.numpy as jnp
+    from kaolin_tpu.io import usd
+
+    tri = np.asarray([[0, 1, 2]], np.int32)
+    va = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    vb = va + 5.0
+    path = str(tmp_path / "two.usda")
+    stage = usd.create_stage(path)
+    usd.add_mesh(stage, "/World/A", vertices=va, faces=tri)
+    usd.add_mesh(stage, "/World/B", vertices=vb, faces=tri)
+    stage.save()
+
+    b = usd.import_mesh(path, scene_path="/World/B")
+    np.testing.assert_allclose(np.asarray(b.vertices), vb, atol=1e-5)
+    a = usd.import_mesh(path, scene_path="/World/A")
+    np.testing.assert_allclose(np.asarray(a.vertices), va, atol=1e-5)
+
+    ordered = usd.import_meshes(path, scene_paths=["/World/B", "/World/A"])
+    np.testing.assert_allclose(np.asarray(ordered[0].vertices), vb,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ordered[1].vertices), va,
+                               atol=1e-5)
+
+    try:
+        usd.import_mesh(path, scene_path="/World/Nope")
+        raise AssertionError("missing prim must raise")
+    except ValueError:
+        pass

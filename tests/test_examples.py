@@ -35,6 +35,7 @@ def _load(name):
     "tutorial_sg_specular_lighting",
     "tutorial_working_with_meshes",
     "tutorial_working_with_gaussians",
+    "tutorial_usd_scene",
 ])
 def test_tutorial_smoke(name):
     _load(name).main(smoke=True)
