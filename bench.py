@@ -185,7 +185,7 @@ def _synthetic_skinned_points(rng, pts, num_handles, yms=1e4, rhos=500.0,
                                 dwdx=dwdx)
 
 
-def bench_simplicits(num_qp=1000, num_handles=33, num_steps=50, dt=0.01):
+def bench_simplicits(num_qp=1000, num_handles=33, num_steps=150, dt=0.01):
     import jax
     import jax.numpy as jnp
     from kaolin_tpu.physics.simplicits import SimplicitsScene
@@ -298,7 +298,7 @@ def bench_dibr(height=512, width=512, num_iters=20, n_lat=40, n_lon=64):
 # 3. SPC raytrace (config 3)
 # ---------------------------------------------------------------------------
 
-def bench_raytrace(level=9, res=512, num_frames=20):
+def bench_raytrace(level=9, res=512, num_frames=60):
     """nglod-style depth render: pinhole camera vs a sphere-shell SPC at
     ``level``; one jitted program per frame = bin units → Pallas tile
     rasterizer → first-hit depth image (``render.spc.raster``; parity with
@@ -415,7 +415,7 @@ def bench_raytrace(level=9, res=512, num_frames=20):
 # 4. FlexiCubes SDF optimization (config 4)
 # ---------------------------------------------------------------------------
 
-def bench_flexicubes(res=64, num_iters=10):
+def bench_flexicubes(res=64, num_iters=50):
     """Differentiable SDF→mesh shape-optimization inner loop at the
     reference tutorial resolution. Uses the dense lattice path
     (``dense_extract``): every stage is a shifted-slice stencil or one-hot
@@ -486,7 +486,7 @@ def bench_flexicubes(res=64, num_iters=10):
 # ---------------------------------------------------------------------------
 
 def bench_gaussians_sim(num_gaussians=2000, num_qp=2048, num_handles=16,
-                        num_steps=30):
+                        num_steps=100):
     """simulatable_3dgrut workload: gaussian shell → volumetric densifier →
     Simplicits body with grid collisions (auto default at this qp count) +
     floor → sim steps, LBS-moving the renderable gaussians each step."""
@@ -666,20 +666,20 @@ def _make_runners(smoke):
     return {
         "simplicits": lambda: bench_simplicits(
             num_qp=64 if smoke else 1000, num_handles=5 if smoke else 33,
-            num_steps=3 if smoke else 50),
+            num_steps=3 if smoke else 150),
         "dibr": lambda: bench_dibr(
             height=64 if smoke else 512, width=64 if smoke else 512,
             num_iters=2 if smoke else 20,
             n_lat=8 if smoke else 40, n_lon=12 if smoke else 64),
         "raytrace": lambda: bench_raytrace(
             level=5 if smoke else 9, res=32 if smoke else 512,
-            num_frames=2 if smoke else 20),
+            num_frames=2 if smoke else 60),
         "flexicubes": lambda: bench_flexicubes(
-            res=12 if smoke else 64, num_iters=2 if smoke else 10),
+            res=12 if smoke else 64, num_iters=2 if smoke else 50),
         "gaussians_sim": lambda: bench_gaussians_sim(
             num_gaussians=200 if smoke else 2000,
             num_qp=128 if smoke else 2048, num_handles=4 if smoke else 16,
-            num_steps=3 if smoke else 30),
+            num_steps=3 if smoke else 100),
         "collision_10k": lambda: bench_collision_10k(
             num_objects=2 if smoke else 6,
             qp_per_object=40 if smoke else 1700,
