@@ -273,9 +273,15 @@ def dense_extract(scalar_field, resolution, beta=None, alpha=None,
         return vd.sum()
 
     # ---- L_dev: per-entry deviation from the group's mean distance ----
+    # the NaN-guard sits on the REDUCED (4, 12, R^3) array: guarding the
+    # (4, 12, 3, R^3) diff forced XLA to materialize a ~600 MB
+    # intermediate instead of fusing the square-reduce. Valid entries are
+    # bitwise identical; invalid dist values differ (sqrt(1) vs sqrt(3))
+    # but are zeroed by *m either way, and backward routes the masked
+    # cotangent into the constant so no sqrt'(0) NaN reaches d2.
     diff = zc[None] - vd[:, None]                         # (4, 12, 3, R..)
-    diff = jnp.where(m[:, :, None] > 0, diff, 1.0)        # NaN-safe backward
-    dist = jnp.sqrt(jnp.sum(diff * diff, axis=2)) * m     # (4, 12, R..)
+    d2 = jnp.sum(diff * diff, axis=2)                     # (4, 12, R..)
+    dist = jnp.sqrt(jnp.where(m > 0, d2, 1.0)) * m        # (4, 12, R..)
     cnt = jnp.sum(m, axis=1, keepdims=True)               # (4, 1, R..)
     mean_l2 = jnp.sum(dist, axis=1, keepdims=True) \
         / jnp.clip(cnt, 1.0, None)
