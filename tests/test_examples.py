@@ -36,6 +36,7 @@ def _load(name):
     "tutorial_working_with_meshes",
     "tutorial_working_with_gaussians",
     "tutorial_usd_scene",
+    "tutorial_bbox_fitting",
 ])
 def test_tutorial_smoke(name):
     _load(name).main(smoke=True)
