@@ -338,7 +338,7 @@ def bench_raytrace(level=9, res=512, num_frames=60):
     # the sidecar so reruns skip the doubling recompiles (overflow is still
     # checked every frame — a stale entry only costs one grow). v3 key:
     # iota-built tile-packed rays + sequence-path measurement.
-    key = f"raster_caps_v3_l{level}_r{res}"
+    key = f"raster_caps_v5_l{level}_r{res}"
     tile_px, s_max, c_cap = _sidecar_get(key, [16, 16, 64])
 
     def render(tpx, sm, cc):

@@ -193,20 +193,29 @@ def build_raster_spc(point_hierarchy, pyramid, level):
 # ---------------------------------------------------------------------------
 
 def _bin_units(uaabb, cam_r, cam_t, tan_h, tan_v, x0, y0, *, width, height,
-               tile_px, s_max, c_cap):
+               tile_h, tile_w, s_max, c_cap):
     """Project unit AABBs -> per-tile, front-to-back unit tables.
 
-    Returns (tab (T, c_cap) int32 packed ``uid << 16 | zq``, counts (T,),
+    Tiles are RECTANGULAR ``(tile_h, tile_w)`` pixel blocks — tile_w is one
+    full 128-lane tile (or the whole image width when narrower), so the
+    kernel's output blocks land directly in row-major (H, W) layout.  The
+    ``s_max`` expansion slots split as ``side_x`` columns (enough to span
+    every x-tile: tx_n is at most 4 at 512**2/128-wide tiles) times
+    ``s_max // side_x`` rows.
+
+    Returns (tab (c_cap, T) int32 packed ``uid << 16 | zq``, counts (T,),
     dz scalar, overflow dict of scalars).  Conservative throughout: a unit
     straddling the eye plane is binned to every tile; pixel bboxes carry a
     half-pixel + epsilon margin.
     """
     u = uaabb.shape[0]
-    tx_n = width // tile_px
-    ty_n = height // tile_px
+    tx_n = width // tile_w
+    ty_n = height // tile_h
     t_n = tx_n * ty_n
-    side = int(math.isqrt(s_max))
-    assert side * side == s_max, "s_max must be a perfect square"
+    side_x = min(4, tx_n)
+    while s_max % side_x:
+        side_x -= 1
+    side_y = s_max // side_x
 
     lo = uaabb[:, 0:3]
     hi = uaabb[:, 3:6]
@@ -249,14 +258,14 @@ def _bin_units(uaabb, cam_r, cam_t, tan_h, tan_v, x0, y0, *, width, height,
     iy1 = jnp.clip(iy1, 0, height - 1)
     live = any_front & onscreen & (uaabb[:, 0] < 1.0e38)
 
-    tx0 = ix0 // tile_px
-    tx1 = ix1 // tile_px
-    ty0 = iy0 // tile_px
-    ty1 = iy1 // tile_px
+    tx0 = ix0 // tile_w
+    tx1 = ix1 // tile_w
+    ty0 = iy0 // tile_h
+    ty1 = iy1 // tile_h
     span_x = tx1 - tx0 + 1
     span_y = ty1 - ty0 + 1
     slot_overflow = jnp.sum(
-        (live & ((span_x > side) | (span_y > side))).astype(jnp.int32))
+        (live & ((span_x > side_x) | (span_y > side_y))).astype(jnp.int32))
 
     zmin = jnp.maximum(jnp.min(depth, axis=1), 0.0)
     zmin = jnp.where(straddle, 0.0, zmin)
@@ -268,7 +277,7 @@ def _bin_units(uaabb, cam_r, cam_t, tan_h, tan_v, x0, y0, *, width, height,
     # made compile time explode at large spans (s_max=1024 measured >10 min)
     iota_u = jnp.arange(u, dtype=jnp.int32)
     s = jnp.arange(s_max, dtype=jnp.int32)
-    dx, dy = s % side, s // side                              # (S,)
+    dx, dy = s % side_x, s // side_x                          # (S,)
     tx = tx0[:, None] + dx[None]                              # (U, S)
     ty = ty0[:, None] + dy[None]
     ok = (live[:, None] & (dx[None] < span_x[:, None])
@@ -312,15 +321,27 @@ def _bin_units(uaabb, cam_r, cam_t, tan_h, tan_v, x0, y0, *, width, height,
 # Pallas per-tile kernel
 # ---------------------------------------------------------------------------
 
-def _raster_kernel(tab_ref, cnt_ref, dz_ref, act_ref, boxes_ref, rays_ref,
-                   units_hbm, t_out, id_out, ubuf, sems, *, c_cap, batch,
-                   compact):
+def _raster_kernel(tab_ref, cnt_ref, dz_ref, act_ref, cam_ref, boxes_ref,
+                   units_hbm, t_out, id_out, t_acc, id_acc, ubuf, sems, *,
+                   c_cap, batch, compact, tile_h, tile_w, tx_n, width,
+                   height):
     """One grid step per TILE: walk the tile's front-to-back unit list,
     ``batch`` units per ``while_loop`` iteration, with a two-batch manual
     DMA ring (units stay in HBM; one batch's copies are in flight while
     the previous batch is slab-tested).  The loop stops as soon as every
     pixel's effective bound beats the next batch's conservative depth
     lower bound.
+
+    Rays are generated IN-KERNEL from pixel iotas + the 16 camera scalars
+    in SMEM (``cam_ref``: R row-major, t, tan_h, tan_v, x0, y0) — the
+    formulas replicate ``generate_pinhole_rays`` + ``inv_transform_rays``
+    op-for-op, exactly as the former XLA-side tile-packed ray build did
+    (same ULP-parity guarantee), but with zero HBM traffic and zero
+    per-frame ray materialization (~1 ms/frame at 512**2).  Accumulation
+    runs in (P, 1) VMEM scratch; the final write reshapes to the
+    ``(tile_h, tile_w)`` output block so the image leaves the kernel in
+    row-major (H, W) layout — the former XLA untile transpose of the
+    (tiles, P) output was strided at 64 B rows and cost ~1.7 ms/frame.
 
     Slots past ``count`` read table value 0 -> unit 0: DMAing and
     re-testing an already-tested or unbinned unit is provably harmless
@@ -332,8 +353,9 @@ def _raster_kernel(tab_ref, cnt_ref, dz_ref, act_ref, boxes_ref, rays_ref,
     """
     t = act_ref[pl.program_id(0)] if compact else pl.program_id(0)
     count = cnt_ref[t]
-    t_out[0, :, :] = jnp.full(t_out.shape[1:], _BIG, jnp.float32)
-    id_out[0, :, :] = jnp.full(id_out.shape[1:], -1, jnp.int32)
+    p = tile_h * tile_w
+    t_acc[...] = jnp.full((p, 1), _BIG, jnp.float32)
+    id_acc[...] = jnp.full((p, 1), -1, jnp.int32)
     ring = 2 * batch
 
     def issue(j):
@@ -351,12 +373,39 @@ def _raster_kernel(tab_ref, cnt_ref, dz_ref, act_ref, boxes_ref, rays_ref,
     def _():
         for k in range(ring):          # first two batches in flight
             issue(jnp.int32(k))
-        ox = rays_ref[0, :, 0:1]                              # (P, 1)
-        oy = rays_ref[0, :, 1:2]
-        oz = rays_ref[0, :, 2:3]
-        ixd = rays_ref[0, :, 3:4]
-        iyd = rays_ref[0, :, 4:5]
-        izd = rays_ref[0, :, 5:6]
+        # ---- in-kernel pinhole rays (op-for-op generate_pinhole_rays +
+        # inv_transform_rays, identical op ORDER to the former XLA build
+        # so depths stay bit-identical) ----
+        r00, r01, r02 = cam_ref[0], cam_ref[1], cam_ref[2]
+        r10, r11, r12 = cam_ref[3], cam_ref[4], cam_ref[5]
+        r20, r21, r22 = cam_ref[6], cam_ref[7], cam_ref[8]
+        t0, t1, t2 = cam_ref[9], cam_ref[10], cam_ref[11]
+        tan_h, tan_v = cam_ref[12], cam_ref[13]
+        x0s, y0s = cam_ref[14], cam_ref[15]
+        si = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+        pix_y = ((t // tx_n) * tile_h + si // tile_w).astype(jnp.float32) \
+            + 0.5
+        pix_x = ((t % tx_n) * tile_w + si % tile_w).astype(jnp.float32) \
+            + 0.5
+        pix_x = pix_x - x0s
+        pix_y = pix_y + y0s
+        ndc_x = 2 * (pix_x / width) - 1.0
+        ndc_y = 2 * (pix_y / height) - 1.0
+        dcx = ndc_x * tan_h
+        dcy = -ndc_y * tan_v
+        dw = [r00 * dcx + r10 * dcy + r20 * (-1.0),
+              r01 * dcx + r11 * dcy + r21 * (-1.0),
+              r02 * dcx + r12 * dcy + r22 * (-1.0)]
+        nrm = jnp.sqrt(dw[0] * dw[0] + dw[1] * dw[1] + dw[2] * dw[2])
+        inv = []
+        for d_ in dw:
+            d_ = d_ / nrm
+            inv.append(1.0 / jnp.where(jnp.abs(d_) > 1e-12, d_,
+                                       jnp.where(d_ >= 0, 1e-12, -1e-12)))
+        ox = r00 * (0.0 - t0) + r10 * (0.0 - t1) + r20 * (0.0 - t2)
+        oy = r01 * (0.0 - t0) + r11 * (0.0 - t1) + r21 * (0.0 - t2)
+        oz = r02 * (0.0 - t0) + r12 * (0.0 - t1) + r22 * (0.0 - t2)
+        ixd, iyd, izd = inv[0], inv[1], inv[2]                # (P, 1)
 
         # per-RAY scene-exit bound: last exit from the occupied level-3
         # set upper-bounds any hit depth (every leaf lives inside an
@@ -423,9 +472,9 @@ def _raster_kernel(tab_ref, cnt_ref, dz_ref, act_ref, boxes_ref, rays_ref,
                 ids = jnp.broadcast_to(uid, cand.shape)
                 sel = jnp.min(jnp.where(cand == m, ids, _INT_BIG), axis=1,
                               keepdims=True)
-                take = m < t_out[0, :, :]
-                id_out[0, :, :] = jnp.where(take, sel, id_out[0, :, :])
-                t_out[0, :, :] = jnp.where(take, m, t_out[0, :, :])
+                take = m < t_acc[...]
+                id_acc[...] = jnp.where(take, sel, id_acc[...])
+                t_acc[...] = jnp.where(take, m, t_acc[...])
                 # refill the freed ring slot with the batch after next
                 issue(u + ring)
 
@@ -437,7 +486,7 @@ def _raster_kernel(tab_ref, cnt_ref, dz_ref, act_ref, boxes_ref, rays_ref,
             nxt = j + 1
             z_lb = (tab_ref[jnp.minimum(nxt * batch, c_cap - 1), t]
                     & 0xFFFF).astype(jnp.float32) * dz_ref[0]
-            worst = jnp.max(jnp.minimum(t_out[0, :, :], bound))
+            worst = jnp.max(jnp.minimum(t_acc[...], bound))
             done = (nxt * batch >= count) | (worst < z_lb)
             return nxt, done
 
@@ -450,6 +499,9 @@ def _raster_kernel(tab_ref, cnt_ref, dz_ref, act_ref, boxes_ref, rays_ref,
         for k in range(ring):
             wait(final_j * batch + k)
 
+    t_out[0, :, :] = t_acc[...]
+    id_out[0, :, :] = id_acc[...]
+
 
 @functools.partial(
     jax.jit,
@@ -458,14 +510,23 @@ def _raster_kernel(tab_ref, cnt_ref, dz_ref, act_ref, boxes_ref, rays_ref,
 def _raster_frame(units, uaabb, l3boxes, cam_r, cam_t,
                   tan_h, tan_v, x0, y0, *, width, height, tile_px, s_max,
                   c_cap, interpret=False, compact=False):
-    tx_n = width // tile_px
-    ty_n = height // tile_px
+    # square tiles: (8, 128)-shaped image-row tiles were tried and lose
+    # ~4x — every binned unit is slab-tested against the whole 1024-px
+    # tile, and the wide tiles collect ~2x more units (measured c_cap 128
+    # vs 64, 16.8 vs 93 fps at 512**2/L9) — binning selectivity beats
+    # output-layout legality, so the row-major image is assembled by the
+    # separate _untile Pallas pass instead
+    tile_h = tile_w = tile_px
+    assert width % tile_w == 0 and height % tile_h == 0, (width, height)
+    tx_n = width // tile_w
+    ty_n = height // tile_h
     t_n = tx_n * ty_n
-    p = tile_px * tile_px
+    p = tile_h * tile_w
 
     tab, counts, dz, overflow = _bin_units(
         uaabb, cam_r, cam_t, tan_h, tan_v, x0, y0, width=width,
-        height=height, tile_px=tile_px, s_max=s_max, c_cap=c_cap)
+        height=height, tile_h=tile_h, tile_w=tile_w, s_max=s_max,
+        c_cap=c_cap)
 
     # occupied level-3 boxes as ONE constant (8, M) VMEM block for the
     # kernel's per-ray scene-exit prologue: rows 0-2 box lo, 3-5 box hi,
@@ -478,51 +539,17 @@ def _raster_frame(units, uaabb, l3boxes, cam_r, cam_t,
          jnp.full((m_pad - m_boxes, 8), 2.0e38, l3boxes.dtype)],
         axis=0).T[0:8]                                        # (8, M)
 
-    # rays built FULLY ELEMENTWISE in the final tile-packed (t_n, p, 8)
-    # layout from 3D broadcasted iotas — no relayout exists anywhere on
-    # the frame path. (Building channel planes and stacking them into the
-    # minor-8 layout is an XLA relayout measured at ~8 ms/frame — 3x the
-    # whole kernel; a row-major (H*W, 8) bundle plus the 5-axis tile
-    # permute was ~10 ms. Every channel redundantly computes all three
-    # direction components and selects by channel index — 8x redundant
-    # flops, but that is ~0.1 ms of VPU against ~10 ms of relayout.)
-    # The math replicates generate_pinhole_rays + inv_transform_rays
-    # op-for-op, so depths agree with the traversal to ULP reassociation
-    # (tests assert ULP tolerance + exact ids where depths are
-    # bit-identical).
-    sh = (t_n, p, 8)
-    ti = jax.lax.broadcasted_iota(jnp.int32, sh, 0)
-    si = jax.lax.broadcasted_iota(jnp.int32, sh, 1)
-    ci = jax.lax.broadcasted_iota(jnp.int32, sh, 2)
-    pix_y = ((ti // tx_n) * tile_px + si // tile_px).astype(jnp.float32) \
-        + 0.5
-    pix_x = ((ti % tx_n) * tile_px + si % tile_px).astype(jnp.float32) \
-        + 0.5
-    pix_x = pix_x - x0
-    pix_y = pix_y + y0
-    ndc_x = 2 * (pix_x / width) - 1.0
-    ndc_y = 2 * (pix_y / height) - 1.0
-    dcx = ndc_x * tan_h
-    dcy = -ndc_y * tan_v
-    # world = R^T @ cam (inv_transform_rays): d_w[i] = sum_j R[j,i] d_c[j]
-    dw = [cam_r[0, i] * dcx + cam_r[1, i] * dcy + cam_r[2, i] * (-1.0)
-          for i in range(3)]
-    nrm = jnp.sqrt(dw[0] * dw[0] + dw[1] * dw[1] + dw[2] * dw[2])
-    inv = []
-    for d_ in dw:
-        d_ = d_ / nrm
-        inv.append(1.0 / jnp.where(jnp.abs(d_) > 1e-12, d_,
-                                   jnp.where(d_ >= 0, 1e-12, -1e-12)))
-    # pinhole origin (shared by every ray): o_w[i] = sum_j R[j,i] (0 - t_j)
-    o_w = [cam_r[0, i] * (0.0 - cam_t[0]) + cam_r[1, i] * (0.0 - cam_t[1])
-           + cam_r[2, i] * (0.0 - cam_t[2]) for i in range(3)]
-    rays = jnp.where(
-        ci == 0, o_w[0], jnp.where(
-            ci == 1, o_w[1], jnp.where(
-                ci == 2, o_w[2], jnp.where(
-                    ci == 3, inv[0], jnp.where(
-                        ci == 4, inv[1], jnp.where(
-                            ci == 5, inv[2], 0.0))))))
+    # 16 camera scalars for the kernel's in-kernel ray generation (SMEM):
+    # R row-major, t, tan_h, tan_v, x0, y0.  The rays themselves are built
+    # INSIDE the kernel from pixel iotas — the former XLA-side tile-packed
+    # (t_n, p, 8) ray build was ~1 ms/frame of HBM writes + VMEM streaming
+    # at 512**2 for values that are pure functions of the pixel index.
+    cam16 = jnp.concatenate([
+        cam_r.reshape(9), cam_t.reshape(3),
+        jnp.reshape(tan_h, (1,)).astype(jnp.float32),
+        jnp.reshape(tan_v, (1,)).astype(jnp.float32),
+        jnp.reshape(x0, (1,)).astype(jnp.float32),
+        jnp.reshape(y0, (1,)).astype(jnp.float32)])
 
     # active-tile compaction (optional): grid runs over the TRACED number
     # of nonempty tiles and inactive tiles are background-filled after.
@@ -542,47 +569,87 @@ def _raster_frame(units, uaabb, l3boxes, cam_r, cam_t,
         n_act = t_n
         tile_of = lambda i, tab, cnt, dz, a: (i, 0, 0)  # noqa: E731
 
+    out_specs = [pl.BlockSpec((1, p, 1), tile_of,
+                              memory_space=pltpu.VMEM)] * 2
+    out_shape = [jax.ShapeDtypeStruct((t_n, p, 1), jnp.float32),
+                 jax.ShapeDtypeStruct((t_n, p, 1), jnp.int32)]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n_act,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # 16 camera scalars
             pl.BlockSpec((8, m_pad), lambda i, tab, cnt, dz, a: (0, 0),
                          memory_space=pltpu.VMEM),  # l3 boxes
-            pl.BlockSpec((1, p, 8), tile_of, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),   # units stay in HBM
         ],
-        out_specs=[
-            pl.BlockSpec((1, p, 1), tile_of, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, 1), tile_of, memory_space=pltpu.VMEM),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
+            pltpu.VMEM((p, 1), jnp.float32),        # depth accumulator
+            pltpu.VMEM((p, 1), jnp.int32),          # id accumulator
             pltpu.VMEM((2 * batch, 8, _LANES), jnp.float32),  # DMA ring
             pltpu.SemaphoreType.DMA((2 * batch,)),
         ],
     )
     depth_t, hit_id = pl.pallas_call(
         functools.partial(_raster_kernel, c_cap=c_cap, batch=batch,
-                          compact=compact),
+                          compact=compact, tile_h=tile_h, tile_w=tile_w,
+                          tx_n=tx_n, width=width, height=height),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((t_n, p, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((t_n, p, 1), jnp.int32)],
+        out_shape=out_shape,
         interpret=interpret,
-    )(tab, counts, dz.reshape(1), act, boxes_t, rays, units)
+    )(tab, counts, dz.reshape(1), act, cam16, boxes_t, units)
     if compact:
         # un-compacted tiles were never written: background-fill them
         live_t = active[:, None, None]
         depth_t = jnp.where(live_t, depth_t, _BIG)
         hit_id = jnp.where(live_t, hit_id, -1)
-
-    def untile(img):
-        return img[:, :, 0].reshape(ty_n, tx_n, tile_px, tile_px) \
-            .transpose(0, 2, 1, 3).reshape(height * width)
-
-    depth_t = untile(depth_t)
-    hit_id = untile(hit_id)
+    depth_t, hit_id = _untile(depth_t, hit_id, height=height, width=width,
+                              tile_px=tile_px, interpret=interpret)
     valid = depth_t < 1.0e38
     depth_t = jnp.where(valid, depth_t, jnp.inf)
     return depth_t, hit_id, valid, overflow
+
+
+def _untile_kernel(ref_in, ref_out, *, tx_n, tile_px, width):
+    """One row band per grid step: (tx_n, p, 1) tile-packed -> (tile_px,
+    width) row-major.  Pure VMEM relayout on small blocks — the former
+    XLA untile of the whole image was a 64 B-row strided transpose costing
+    ~1.7 ms/frame at 512**2.  The (32, 16) -> (1, 512) row reshape only
+    lowers when the source is a slice of a 3D (tx_n, p, 1) block (Mosaic
+    rejects the same reshape from a 2D block), and the lane-padded 3D
+    block costs ~4 MB of scoped VMEM at 512**2 — hence ONE array per
+    pallas_call so double-buffering stays under the 16 MB limit."""
+    arr = ref_in[...][:, :, 0]                                # (tx_n, p)
+    for y in range(tile_px):
+        ref_out[y:y + 1, :] = \
+            arr[:, y * tile_px:(y + 1) * tile_px].reshape(1, width)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("height", "width", "tile_px",
+                                    "interpret"))
+def _untile(depth_t, hit_id, *, height, width, tile_px, interpret):
+    tx_n = width // tile_px
+    ty_n = height // tile_px
+    p = tile_px * tile_px
+    band = pl.BlockSpec((tx_n, p, 1), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((tile_px, width), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    outs = []
+    for img, dt in ((depth_t, jnp.float32), (hit_id, jnp.int32)):
+        out = pl.pallas_call(
+            functools.partial(_untile_kernel, tx_n=tx_n, tile_px=tile_px,
+                              width=width),
+            grid=(ty_n,),
+            in_specs=[band],
+            out_specs=row,
+            out_shape=jax.ShapeDtypeStruct((height, width), dt),
+            interpret=interpret,
+        )(img.reshape(ty_n * tx_n, p, 1))
+        outs.append(out.reshape(height * width))
+    return tuple(outs)
 
 
 @jax.jit
